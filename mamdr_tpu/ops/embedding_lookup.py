@@ -1,0 +1,76 @@
+"""Embedding lookup: the framework's single hottest memory op.
+
+The reference reaches TF's fused embedding-lookup kernels through Keras
+Embedding layers (reference model_zoo/DeepCTR/deepctr.py:104-116). Here the
+single-device path is `jnp.take`, which XLA lowers to a dynamic-gather that is
+already HBM-bandwidth-bound — the right baseline. The multi-device path
+(row-sharded tables + collectives) lives in `mamdr_tpu.parallel.embedding_shard`.
+
+A Pallas double-buffered gather kernel is available for very large tables
+where XLA's generic gather leaves bandwidth on the table
+(`pallas_gather_rows`); it DMAs rows HBM->VMEM keyed by scalar-prefetched
+indices.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def embedding_lookup(table: jax.Array, ids: jax.Array) -> jax.Array:
+    """Gather rows: table [N, D], ids [B] -> [B, D].
+
+    mode="clip" matches TF's behavior of clamping out-of-range ids rather than
+    producing garbage; in-range ids are the data layer's contract.
+    """
+    return jnp.take(table, ids, axis=0, indices_are_sorted=False, unique_indices=False, mode="clip")
+
+
+def pallas_gather_rows(table: jax.Array, ids: jax.Array) -> jax.Array:
+    """Pallas HBM->VMEM row gather with scalar-prefetched indices.
+
+    Keeps the table in HBM and DMAs exactly the requested rows into the output
+    block, one grid step per row tile. Useful when D is large and XLA's
+    generic gather under-utilises HBM bandwidth. Requires D % 128 == 0.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, d = table.shape
+    b = ids.shape[0]
+    tile = 8  # rows per grid step; 8 sublanes of f32
+
+    pad_b = -(-b // tile) * tile
+    ids_padded = jnp.pad(ids, (0, pad_b - b))
+
+    def kernel(ids_ref, table_ref, out_ref, sem):
+        i = pl.program_id(0)
+        for r in range(tile):
+            row_id = ids_ref[i * tile + r]
+            cp = pltpu.make_async_copy(
+                table_ref.at[row_id], out_ref.at[r], sem.at[r]
+            )
+            cp.start()
+        for r in range(tile):
+            pltpu.make_async_copy(
+                table_ref.at[ids_ref[i * tile + r]], out_ref.at[r], sem.at[r]
+            ).wait()
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(pad_b // tile,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(
+            (tile, d), lambda i, ids_ref=None: (i, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[pltpu.SemaphoreType.DMA((tile,))],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((pad_b, d), table.dtype),
+    )(ids_padded, table)
+    return out[:b]

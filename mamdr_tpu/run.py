@@ -1,0 +1,45 @@
+"""CLI experiment driver: ``python -m mamdr_tpu.run --config <file.json>``.
+
+Mirrors the reference driver (run.py:25-99): load config, seed, load the
+multi-domain dataset, build the base model + strategy by name substrings,
+train / test / optional finetune, save result artifacts.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+from mamdr_tpu.config import ExperimentConfig, load_config
+from mamdr_tpu.data.dataset import MultiDomainDataset
+from mamdr_tpu.data.synthetic import make_synthetic_dataset
+from mamdr_tpu.strategies import build_strategy
+from mamdr_tpu.train.trainer import Trainer
+
+
+def main(config: ExperimentConfig, verbose: bool = True):
+    dc = config.dataset
+    if dc.name == "synthetic":
+        dataset = make_synthetic_dataset(
+            n_domain=dc.n_domain,
+            n_uid=dc.n_uid,
+            n_pid=dc.n_pid,
+            n_per_domain=dc.n_per_domain,
+            seed=dc.seed,
+            batch_size=dc.batch_size,
+        )
+    else:
+        dataset = MultiDomainDataset.from_disk(dc)
+
+    trainer = Trainer(config, dataset, verbose=verbose)
+    strategy = build_strategy(trainer)
+    avg_loss, avg_auc, domain_loss, domain_auc = strategy.run()
+    trainer.save_result(avg_loss, avg_auc, domain_loss, domain_auc)
+    return avg_loss, avg_auc, domain_loss, domain_auc
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", type=str, required=True, help="Train config file")
+    args = parser.parse_args()
+    main(load_config(args.config))

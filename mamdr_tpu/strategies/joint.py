@@ -1,0 +1,36 @@
+"""Joint training: sequential shuffled per-domain epochs with early stopping.
+
+Reference loop: model_zoo/DeepCTR/deepctr.py:63-93 (also Star star.py:35-68,
+DeepMTLCTR deep_mtl_ctr.py:68-98, UncertaintyWeight uncertainty_weight.py:60-94
+— all the same schedule). Per epoch: shuffle domain order, fit one epoch per
+domain sequentially, validate all domains, early-stop on macro val AUC (saving
+best weights), print test metrics.
+"""
+
+from __future__ import annotations
+
+from mamdr_tpu.strategies.base import Strategy
+
+
+class JointStrategy(Strategy):
+    def train(self) -> None:
+        t = self.trainer
+        sequence = list(range(self.n_domain))
+        for epoch in range(self.tc.epoch):
+            if t.verbose:
+                print(f"Epoch: {epoch}", "-" * 30)
+            t.np_rng.shuffle(sequence)
+            for idx in sequence:
+                if t.verbose:
+                    print(f"Train on: Domain {idx}")
+                t.state, loss = t.fit_domain(t.state, idx)
+            if t.verbose:
+                print("Val Result: ")
+            _, avg_auc, _, _ = t.val_and_test("val")
+            if t.stopper.step(avg_auc):
+                break
+            if t.stopper.improved:
+                t.save_checkpoint()
+            if t.verbose:
+                print("Test Result: ")
+                t.val_and_test("test", params_fn=None)

@@ -1,0 +1,98 @@
+"""Per-domain separate training / the post-hoc finetune stage.
+
+Reference: BaseModel.separate_train_val_test (base_model.py:41-109).
+  - init_params=True ("separate" strategy): one fresh global init; every
+    domain starts from the SAME initial weights; the model's own optimizer
+    (Adam) is used and its slots are NOT reset between domains (only the
+    global init reset them).
+  - init_params=False ("finetune" stage): every domain starts from the best
+    checkpointed weights and trains with plain SGD (Keras recompile with
+    GradientDescentOptimizer — base_model.py:69; lr hardcoded 0.001 in the
+    SpecificBase variant, specific_base_model.py:120).
+Per domain: train full epochs with per-domain early stopping on val AUC
+(patience, min_delta=1e-4, mode max — base_model.py:79-82) keeping the best
+weights, then evaluate that domain's test split with them.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+
+from mamdr_tpu.train.trainer import Trainer
+
+
+def separate_train_val_test(
+    trainer: Trainer,
+    init_params: bool = True,
+    params_fn: Optional[Callable[[int], Tuple]] = None,
+    max_finetune_epochs: Optional[int] = None,
+):
+    """Returns (avg_loss, avg_auc, domain_loss, domain_auc) over test splits.
+
+    ``params_fn(idx) -> (params, batch_stats)`` overrides the starting weights
+    per domain (used by SpecificBase/MAMDR finetune with merged weights,
+    specific_base_model.py:99-162).
+    """
+    t = trainer
+    tc = t.config.train
+    start_params = t.state.params
+    start_stats = t.state.batch_stats
+    min_delta = tc.min_delta
+
+    domain_loss: Dict[str, float] = {}
+    domain_auc: Dict[str, float] = {}
+    epochs_cap = max_finetune_epochs or tc.epoch
+
+    for idx in range(t.dataset.n_domain):
+        if params_fn is not None:
+            params, stats = params_fn(idx)
+        else:
+            params, stats = start_params, start_stats
+        # Fresh optimizer slots per domain only for the SGD finetune path
+        # (Keras recompile); the separate path keeps slots across domains.
+        if init_params:
+            state = t.state.replace(params=params, batch_stats=stats)
+        else:
+            state = t.state.replace(
+                params=params,
+                batch_stats=stats,
+                opt_state=t.finetune_fns.init_opt(params),
+            )
+        if t.verbose:
+            print(f"Train on domain: {idx}")
+
+        best_auc = None
+        best_params = state.params
+        best_stats = state.batch_stats
+        counter = 0
+        for _epoch in range(epochs_cap):
+            state, _ = t.fit_domain(state, idx, finetune=not init_params)
+            _, val_auc = t.evaluate_domain(
+                "val", idx, state.params, state.batch_stats
+            )
+            if best_auc is None or val_auc > best_auc + min_delta:
+                best_auc = val_auc
+                best_params = state.params
+                best_stats = state.batch_stats
+                counter = 0
+            else:
+                counter += 1
+                if counter >= tc.patience:
+                    break
+
+        l, a = t.evaluate_domain("test", idx, best_params, best_stats)
+        domain_loss[str(idx)] = l
+        domain_auc[str(idx)] = a
+
+    avg_loss = sum(domain_loss.values()) / len(domain_loss)
+    avg_auc = sum(domain_auc.values()) / len(domain_auc)
+    if t.verbose:
+        print("Loss: ", domain_loss)
+        print("AUC: ")
+        for k, v in domain_auc.items():
+            print(f"{k}: {v}")
+        w = t.weighted_auc("test", domain_auc)
+        print(f"Overall test Loss: {avg_loss}, AUC: {avg_auc}, Weighted AUC: {w}")
+    return avg_loss, avg_auc, domain_loss, domain_auc

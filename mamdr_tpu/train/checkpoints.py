@@ -1,0 +1,96 @@
+"""Checkpointing: atomic on-disk snapshots of parameter pytrees.
+
+Replaces the reference's Keras .h5 weight files (base_model.py:23-26, 177-178)
+with flat-key .npz archives written atomically (tmp + rename). Unlike the
+reference — which never serialises the MAMDR (shared, {specific_i})
+decomposition (SURVEY §5.4) — `save_decomposition` checkpoints it explicitly,
+making MAMDR resume-across-process possible.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import os.path as osp
+import tempfile
+from typing import Any, Dict, List, Optional
+
+import jax
+import numpy as np
+
+from mamdr_tpu.utils.trees import path_str
+
+SEP = "//"
+
+
+def _flatten(tree) -> Dict[str, np.ndarray]:
+    out = {}
+    jax.tree_util.tree_map_with_path(
+        lambda p, x: out.__setitem__(path_str(p).replace("/", SEP), np.asarray(x)),
+        tree,
+    )
+    return out
+
+
+def _unflatten_into(tree, flat: Dict[str, np.ndarray]):
+    """Restore values into an existing pytree structure (template-driven)."""
+
+    def pick(p, x):
+        key = path_str(p).replace("/", SEP)
+        if key not in flat:
+            raise KeyError(f"checkpoint missing parameter {key}")
+        v = flat[key]
+        if v.shape != x.shape:
+            raise ValueError(f"shape mismatch for {key}: ckpt {v.shape} vs {x.shape}")
+        return v.astype(x.dtype) if hasattr(x, "dtype") else v
+
+    return jax.tree_util.tree_map_with_path(pick, tree)
+
+
+def save_pytree(path: str, tree) -> None:
+    os.makedirs(osp.dirname(osp.abspath(path)), exist_ok=True)
+    flat = _flatten(tree)
+    fd, tmp = tempfile.mkstemp(dir=osp.dirname(osp.abspath(path)), suffix=".tmp")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            np.savez(f, **flat)
+        os.replace(tmp, path)
+    except BaseException:
+        if osp.exists(tmp):
+            os.unlink(tmp)
+        raise
+
+
+def load_pytree(path: str, template):
+    with np.load(path) as z:
+        flat = {k: z[k] for k in z.files}
+    return _unflatten_into(template, flat)
+
+
+def save_decomposition(
+    dirpath: str,
+    shared,
+    domain_specific: List[Any],
+    extra: Optional[Dict] = None,
+) -> None:
+    """MAMDR checkpoint: shared params + per-domain specific deltas + metadata."""
+    os.makedirs(dirpath, exist_ok=True)
+    save_pytree(osp.join(dirpath, "shared.npz"), shared)
+    for i, spec in enumerate(domain_specific):
+        save_pytree(osp.join(dirpath, f"specific_{i}.npz"), spec)
+    meta = {"n_domain": len(domain_specific)}
+    if extra:
+        meta.update(extra)
+    with open(osp.join(dirpath, "meta.json"), "w") as f:
+        json.dump(meta, f)
+
+
+def load_decomposition(dirpath: str, template):
+    with open(osp.join(dirpath, "meta.json")) as f:
+        meta = json.load(f)
+    shared = load_pytree(osp.join(dirpath, "shared.npz"), template)
+    specific = [
+        load_pytree(osp.join(dirpath, f"specific_{i}.npz"), template)
+        for i in range(meta["n_domain"])
+    ]
+    return shared, specific, meta

@@ -1,0 +1,219 @@
+"""Jitted compute core: loss, train step, scan-fused epochs, eval, grad accumulation.
+
+One `train_step(state, batch)` is shared by every strategy (SURVEY §7.1.2);
+strategies differ only in host-side scheduling and in the on-device
+weight-space ops applied between inner runs. A per-domain epoch is a
+`lax.scan` over `[n_steps, B]` stacked batches under a single jit — the
+replacement for the reference's per-batch `session.run` hot loop
+(reference model_zoo/DeepCTR/deepctr.py:76, maml.py:92-99).
+
+Loss semantics (reference parity):
+  - binary cross-entropy on sigmoid probabilities, masked weighted mean
+    (Keras weighted loss with 0/1 weights == sum(w*bce)/sum(w));
+  - l2 regularisation 1e-5 on embedding tables (deepctr.py:118-136 defaults);
+    frozen tables contribute a stop_gradient'ed constant;
+  - optional Kendall uncertainty weighting per domain:
+    loss = bce/var^2 + log(var), var = log_vars[domain_id]
+    (reference model_zoo/uncertainty_weight/weighted_loss.py:29-42).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from mamdr_tpu.metrics.auc import AucState, auc_init, auc_result, auc_update
+from mamdr_tpu.train.state import TrainState
+from mamdr_tpu.utils import trees
+
+
+class StepConfig(NamedTuple):
+    uncertainty_weight: bool = False
+    l2_emb: float = 1e-5
+    emb_trainable: bool = True
+    num_thresholds: int = 500
+    has_batch_stats: bool = False
+    has_dropout: bool = False
+
+
+def weighted_bce(logits, labels, weights):
+    """sum(w * bce) / sum(w) — Keras masked-weighted mean with 0/1 weights."""
+    bce = optax.sigmoid_binary_cross_entropy(logits, labels)
+    denom = jnp.maximum(jnp.sum(weights), 1.0)
+    return jnp.sum(bce * weights) / denom
+
+
+def _l2_term(model_params, l2_emb: float, emb_trainable: bool):
+    """l2 * sum(table^2) over embedding-table params ('emb' in path).
+
+    When tables are frozen the term is constant — stop_gradient so the
+    backward pass never materialises a dense table-sized gradient.
+    """
+    if l2_emb <= 0.0:
+        return 0.0
+
+    def leaf_term(name, x):
+        if "emb" not in name:
+            return 0.0
+        t = jnp.sum(jnp.square(x))
+        if not emb_trainable and ("user_emb" in name or "item_emb" in name):
+            t = jax.lax.stop_gradient(t)
+        return t
+
+    terms = trees.named_tree_map(leaf_term, model_params)
+    return l2_emb * jax.tree_util.tree_reduce(jnp.add, terms, 0.0)
+
+
+def make_loss_fn(model, cfg: StepConfig):
+    """Returns loss_fn(params, batch_stats, batch, rng, train) -> (loss, aux)."""
+
+    def loss_fn(params, batch_stats, batch, rng, train: bool):
+        variables = {"params": params["model"]}
+        if cfg.has_batch_stats:
+            variables["batch_stats"] = batch_stats
+        kwargs = {}
+        if train and cfg.has_dropout:
+            kwargs["rngs"] = {"dropout": rng}
+        mutable = ["batch_stats"] if (train and cfg.has_batch_stats) else False
+        out = model.apply(
+            variables,
+            batch["uid"], batch["pid"], batch["domain"],
+            train=train, mutable=mutable, **kwargs,
+        )
+        if mutable:
+            logits, updated = out
+            new_stats = updated.get("batch_stats", batch_stats)
+        else:
+            logits, new_stats = out, batch_stats
+
+        data_loss = weighted_bce(logits, batch["label"], batch["weight"])
+        if cfg.uncertainty_weight:
+            var = params["uncertainty"]["log_vars"][batch["domain"][0], 0]
+            data_loss = data_loss / jnp.square(var) + jnp.log(var)
+        loss = data_loss + _l2_term(params["model"], cfg.l2_emb, cfg.emb_trainable)
+        probs = jax.nn.sigmoid(logits)
+        return loss, (new_stats, probs, data_loss)
+
+    return loss_fn
+
+
+class TrainFns(NamedTuple):
+    """Bundle of jitted functions over a fixed (model, optimizer, cfg)."""
+
+    train_epoch: Callable    # (state, stacked) -> (state, mean_loss)
+    eval_epoch: Callable     # (params, batch_stats, stacked) -> (loss, auc)
+    grad_epoch: Callable     # (params, batch_stats, stacked, rng) -> (grads_sum, n_batches)
+    init_opt: Callable       # params -> opt_state
+    apply_grads: Callable    # (params, opt_state, grads) -> (params, opt_state)
+
+
+def build_train_fns(model, tx: optax.GradientTransformation, cfg: StepConfig) -> TrainFns:
+    loss_fn = make_loss_fn(model, cfg)
+
+    def train_step(state: TrainState, batch):
+        rng = jax.random.fold_in(state.rng, state.step)
+        (loss, (new_stats, _, data_loss)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params, state.batch_stats, batch, rng, True)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            params=new_params,
+            opt_state=new_opt,
+            batch_stats=new_stats,
+            step=state.step + 1,
+        )
+        return new_state, data_loss
+
+    @jax.jit
+    def train_epoch(state: TrainState, stacked):
+        """stacked: dict of [n_steps, B] arrays. One jit, one scan."""
+        new_state, losses = jax.lax.scan(train_step, state, stacked)
+        return new_state, jnp.mean(losses)
+
+    @jax.jit
+    def eval_epoch(params, batch_stats, stacked):
+        """Streaming per-domain eval: scan accumulating loss + AUC confusion counts."""
+
+        def step(carry, batch):
+            auc_state, loss_sum, w_sum = carry
+            loss, (_, probs, data_loss) = loss_fn(
+                params, batch_stats, batch, jax.random.PRNGKey(0), False
+            )
+            w = jnp.sum(batch["weight"])
+            auc_state = auc_update(
+                auc_state, batch["label"], probs, batch["weight"], cfg.num_thresholds
+            )
+            # Keras evaluate averages per-batch losses over steps; padded final
+            # batch uses the weighted mean so parity holds.
+            return (auc_state, loss_sum + loss, w_sum + 1.0), None
+
+        init = (auc_init(cfg.num_thresholds), jnp.zeros(()), jnp.zeros(()))
+        (auc_state, loss_sum, n_batches), _ = jax.lax.scan(step, init, stacked)
+        return loss_sum / jnp.maximum(n_batches, 1.0), auc_result(auc_state)
+
+    @jax.jit
+    def grad_epoch(params, batch_stats, stacked, rng):
+        """Accumulate grads of the data loss over all batches (MAML/MLDG query
+        passes — reference maml.py:196-234 accumulator vars)."""
+
+        def step(carry, xs):
+            acc, i = carry
+            batch = xs
+            step_rng = jax.random.fold_in(rng, i)
+            _, grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, batch_stats, batch, step_rng, True
+            )
+            return (trees.tree_add(acc, grads), i + 1), None
+
+        zero = trees.tree_zeros_like(params)
+        (grads_sum, n), _ = jax.lax.scan(step, (zero, jnp.zeros((), jnp.int32)), stacked)
+        return grads_sum, n
+
+    @jax.jit
+    def apply_grads(params, opt_state, grads):
+        updates, new_opt = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), new_opt
+
+    return TrainFns(
+        train_epoch=train_epoch,
+        eval_epoch=eval_epoch,
+        grad_epoch=grad_epoch,
+        init_opt=jax.jit(tx.init),
+        apply_grads=apply_grads,
+    )
+
+
+def make_optimizer(
+    name: str,
+    learning_rate: float,
+    params,
+    emb_trainable: bool = True,
+) -> optax.GradientTransformation:
+    """Inner optimizer factory (TF1 AdamOptimizer defaults: b1=.9 b2=.999 eps=1e-8).
+
+    When ``emb_trainable`` is false, user/item tables (incl. the dim-1 linear
+    tables, matching deepctr's trainable flag propagation) get zero updates —
+    the functional equivalent of Keras ``trainable=False``.
+    """
+    if name == "adam":
+        base = optax.adam(learning_rate, b1=0.9, b2=0.999, eps=1e-8)
+    elif name == "sgd":
+        base = optax.sgd(learning_rate)
+    else:
+        raise ValueError(f"unknown optimizer {name!r}")
+    if emb_trainable:
+        return base
+
+    def frozen(name_: str, x) -> bool:
+        return "user_emb" in name_ or "item_emb" in name_
+
+    mask = trees.named_tree_map(frozen, params)
+    return optax.chain(
+        optax.masked(optax.set_to_zero(), mask),
+        base,
+    )

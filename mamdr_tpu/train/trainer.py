@@ -1,0 +1,271 @@
+"""Trainer: model/optimizer/data wiring + per-domain fit/eval machinery.
+
+The per-strategy control planes (mamdr_tpu.strategies) drive this object.
+It mirrors the reference BaseModel surface — per-domain evaluation with
+macro/weighted AUC (base_model.py:111-175), the strict-improvement early-stop
+state machine (base_model.py:202-224), best-checkpoint reload for test, and
+result artifacts (base_model.py:183-200) — while keeping all parameter state
+as on-device pytrees.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import os.path as osp
+import time
+from typing import Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mamdr_tpu.config import ExperimentConfig
+from mamdr_tpu.data.dataset import DomainSplit, MultiDomainDataset, stack_batches
+from mamdr_tpu.models.zoo import build_model
+from mamdr_tpu.train import checkpoints
+from mamdr_tpu.train.state import TrainState
+from mamdr_tpu.train.steps import StepConfig, TrainFns, build_train_fns, make_optimizer
+
+
+class EarlyStopper:
+    """Strict-improvement early stop (reference base_model.py:202-224)."""
+
+    def __init__(self, patience: int):
+        self.patience = patience
+        self.counter = 0
+        self.best_metric: Optional[float] = None
+        self.early_stop = False
+
+    def step(self, metric: float) -> bool:
+        """Returns True when training should stop. improved() tells callers to save."""
+        self.improved = False
+        if self.best_metric is None or metric > self.best_metric:
+            self.best_metric = metric
+            self.counter = 0
+            self.improved = True
+        else:
+            self.counter += 1
+            if self.counter >= self.patience:
+                self.early_stop = True
+        return self.early_stop
+
+
+class Trainer:
+    def __init__(
+        self,
+        config: ExperimentConfig,
+        dataset: MultiDomainDataset,
+        verbose: bool = True,
+    ):
+        self.config = config
+        self.dataset = dataset
+        self.verbose = verbose
+        self.spec = config.spec
+        tc, mc = config.train, config.model
+
+        self.model = build_model(
+            config,
+            n_uid=dataset.n_uid,
+            n_pid=dataset.n_pid,
+            n_domain=dataset.n_domain,
+            pretrained_user=dataset.user_emb,
+            pretrained_item=dataset.item_emb,
+        )
+
+        self.np_rng = np.random.default_rng(dataset.seed)
+        self.rng = jax.random.PRNGKey(dataset.seed)
+        self.rng, init_rng = jax.random.split(self.rng)
+
+        sample = self._sample_batch()
+        variables = self.model.init(
+            {"params": init_rng, "dropout": init_rng},
+            sample["uid"], sample["pid"], sample["domain"], train=False,
+        )
+        model_params = variables["params"]
+        batch_stats = dict(variables.get("batch_stats", {}))
+
+        params = {"model": model_params}
+        if self.spec.uncertainty_weight:
+            # WeightedLoss log_vars init 1.0 (weighted_loss.py:15-27).
+            params["uncertainty"] = {
+                "log_vars": jnp.ones((dataset.n_domain, 1), jnp.float32)
+            }
+        self.step_cfg = StepConfig(
+            uncertainty_weight=self.spec.uncertainty_weight,
+            l2_emb=1e-5,
+            emb_trainable=tc.emb_trainable,
+            has_batch_stats=bool(batch_stats),
+            has_dropout=mc.dropout > 0.0,
+        )
+        self.tx = make_optimizer(
+            tc.optimizer, tc.learning_rate, params, tc.emb_trainable
+        )
+        self.fns: TrainFns = build_train_fns(self.model, self.tx, self.step_cfg)
+        self.state = TrainState.create(
+            params=params,
+            opt_state=self.fns.init_opt(params),
+            batch_stats=batch_stats,
+            rng=self.rng,
+        )
+
+        # Finetune-stage fns (SGD lr=0.001 hardcoded in the reference,
+        # base_model.py:69 / specific_base_model.py:120).
+        self.finetune_tx = make_optimizer(
+            tc.finetune_optimizer, tc.finetune_learning_rate, params, tc.emb_trainable
+        )
+        self.finetune_fns = build_train_fns(self.model, self.finetune_tx, self.step_cfg)
+
+        self._eval_cache: Dict[Tuple[str, int], Dict] = {}
+        self.stopper = EarlyStopper(tc.patience)
+
+        ts = time.strftime("%Y%m%d-%H%M%S")
+        self.checkpoint_dir = osp.join(
+            tc.checkpoint_path, mc.name, config.dataset.name,
+            config.dataset.domain_split_path, ts,
+        )
+        self.checkpoint_path = osp.join(self.checkpoint_dir, "model_parameters.npz")
+        self.result_dir = osp.join(
+            tc.result_save_path, mc.name, config.dataset.name,
+            config.dataset.domain_split_path,
+        )
+
+    # ---------------- data ----------------
+
+    def _sample_batch(self):
+        d0 = self.dataset.train[0]
+        n = min(2, d0.n)
+        return {
+            "uid": jnp.asarray(d0.uid[:n]),
+            "pid": jnp.asarray(d0.pid[:n]),
+            "domain": jnp.asarray(d0.domain[:n]),
+            "label": jnp.asarray(d0.label[:n]),
+            "weight": jnp.ones((n,), jnp.float32),
+        }
+
+    def stack_train_epoch(
+        self, domain_idx: int, split: Optional[DomainSplit] = None,
+        max_steps: int = 0,
+    ) -> Dict:
+        """Shuffle + stack one domain-epoch; optionally cap steps
+        (meta_train_step / domain_regulation_step semantics, maml.py:92-99)."""
+        split = split if split is not None else self.dataset.train[domain_idx]
+        stacked = stack_batches(
+            split, self.dataset.batch_size, shuffle=True, rng=self.np_rng
+        )
+        if max_steps and max_steps > 0:
+            stacked = {k: v[:max_steps] for k, v in stacked.items()}
+        return jax.device_put(stacked)
+
+    def eval_stack(self, mode: str, domain_idx: int) -> Dict:
+        key = (mode, domain_idx)
+        if key not in self._eval_cache:
+            split = {"val": self.dataset.val, "test": self.dataset.test}[mode][domain_idx]
+            self._eval_cache[key] = jax.device_put(
+                stack_batches(split, self.dataset.batch_size, shuffle=False)
+            )
+        return self._eval_cache[key]
+
+    # ---------------- fit / eval ----------------
+
+    def fit_domain(
+        self,
+        state: TrainState,
+        domain_idx: int,
+        split: Optional[DomainSplit] = None,
+        max_steps: int = 0,
+        finetune: bool = False,
+    ) -> Tuple[TrainState, float]:
+        """One epoch over one domain, scan-fused under a single jit."""
+        stacked = self.stack_train_epoch(domain_idx, split, max_steps)
+        fns = self.finetune_fns if finetune else self.fns
+        state, loss = fns.train_epoch(state, stacked)
+        return state, float(loss)
+
+    def evaluate_domain(
+        self, mode: str, domain_idx: int, params, batch_stats
+    ) -> Tuple[float, float]:
+        stacked = self.eval_stack(mode, domain_idx)
+        loss, auc = self.fns.eval_epoch(params, batch_stats, stacked)
+        return float(loss), float(auc)
+
+    def val_and_test(
+        self,
+        mode: str,
+        params_fn: Optional[Callable[[int], Tuple]] = None,
+    ) -> Tuple[float, float, Dict, Dict]:
+        """Per-domain eval -> (macro loss, macro AUC, per-domain dicts).
+
+        ``params_fn(domain_idx) -> (params, batch_stats)`` lets strategy
+        wrappers evaluate per-domain merged weights (SpecificBase semantics,
+        specific_base_model.py:64-97). Default: current state.
+        NOTE: unlike reference val_and_test, test-time best-checkpoint reload
+        is the caller's job (strategies own their best-weight snapshots).
+        """
+        if mode not in ("val", "test"):
+            raise ValueError(f"mode must be val or test, not {mode!r}")
+        domain_loss, domain_auc = {}, {}
+        for idx in range(self.dataset.n_domain):
+            if params_fn is not None:
+                params, stats = params_fn(idx)
+            else:
+                params, stats = self.state.params, self.state.batch_stats
+            l, a = self.evaluate_domain(mode, idx, params, stats)
+            domain_loss[str(idx)] = l
+            domain_auc[str(idx)] = a
+        avg_loss = sum(domain_loss.values()) / len(domain_loss)
+        avg_auc = sum(domain_auc.values()) / len(domain_auc)
+        if self.verbose:
+            print(f"Loss: {domain_loss}")
+            print("AUC: ")
+            for k, v in domain_auc.items():
+                print(f"{k}: {v}")
+            w_auc = self.weighted_auc(mode, domain_auc)
+            print(
+                f"Overall {mode} Loss: {avg_loss}, AUC: {avg_auc}, "
+                f"Weighted AUC: {w_auc}"
+            )
+        return avg_loss, avg_auc, domain_loss, domain_auc
+
+    def weighted_auc(self, mode: str, domain_auc: Dict[str, float]) -> float:
+        """Example-weighted AUC (base_model.py:157-175)."""
+        info = self.dataset.dataset_info
+        tag = "n_val" if "val" in mode else ("n_test" if "test" in mode else "n_train")
+        num = sum(info[k][tag] * v for k, v in domain_auc.items())
+        den = sum(info[k][tag] for k in domain_auc)
+        return num / den
+
+    # ---------------- checkpoints / results ----------------
+
+    def save_checkpoint(self, params=None) -> None:
+        checkpoints.save_pytree(
+            self.checkpoint_path, params if params is not None else self.state.params
+        )
+
+    def load_checkpoint(self):
+        return checkpoints.load_pytree(self.checkpoint_path, self.state.params)
+
+    def save_result(self, avg_loss, avg_auc, domain_loss, domain_auc) -> str:
+        folder = "loss_{:.3f}_auc_{:.3f}_{}".format(
+            avg_loss, avg_auc, time.strftime("%a-%b-%d-%H-%M-%S")
+        )
+        result_path = osp.join(self.result_dir, folder)
+        os.makedirs(result_path, exist_ok=True)
+        with open(osp.join(result_path, "dataset_info.json"), "w") as f:
+            json.dump(self.dataset.dataset_info, f)
+        with open(osp.join(result_path, "config.json.example"), "w") as f:
+            json.dump(self.config.to_dict(), f)
+        with open(osp.join(result_path, "result.json"), "w") as f:
+            json.dump(
+                {
+                    "avg_loss": avg_loss,
+                    "avg_auc": avg_auc,
+                    "domain_loss": domain_loss,
+                    "domain_auc": domain_auc,
+                },
+                f,
+            )
+        checkpoints.save_pytree(
+            osp.join(result_path, "model_parameters.npz"), self.state.params
+        )
+        return result_path
