@@ -173,6 +173,10 @@ class TrainConfig:
     # on dot>0 and normalises by ||g|| not ||g||^2 (pcgrad.py:152-160).
     # "reference" reproduces that; "paper" uses the published rule.
     pcgrad_mode: str = "reference"
+    # MAMDR initial per-domain specific weights: "random" = fresh initializer
+    # draws (reference mamdr.py:30-33 init_layer — with plus-merge these are
+    # random offsets, not zeros); "zeros" = zero deltas (paper intent).
+    specific_init: str = "random"
     # Early stop min-delta for Keras-callback paths (base_model.py:79-82).
     min_delta: float = 1e-4
 

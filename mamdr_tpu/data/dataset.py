@@ -98,7 +98,8 @@ def stack_batches(
         order = rng.permutation(n)
     n_steps = -(-n // batch_size)
     padded = n_steps * batch_size
-    full_idx = np.concatenate([order, order[: padded - n]])
+    # modular wrap-around: splits smaller than the pad amount tile repeatedly
+    full_idx = np.concatenate([order, order[np.arange(padded - n) % n]])
     weight = np.ones(padded, np.float32)
     weight[n:] = 0.0
     out = {

@@ -31,7 +31,7 @@ class Strategy:
     def test(self) -> Result:
         """Test with best weights (reference base_model.py:121: test reloads)."""
         t = self.trainer
-        best = t.load_checkpoint()
+        best = t.best_params if t.best_params is not None else t.load_checkpoint()
         return t.val_and_test("test", params_fn=lambda idx: (best, t.state.batch_stats))
 
     def finetune(self) -> Result:

@@ -1,0 +1,51 @@
+"""Domain Negotiation (DN): sequential cross-domain inner pass + Reptile outer.
+
+Reference model_zoo/domain_negotiation.py:14-147. Per epoch: (optionally)
+shuffle the domain sequence (or use a fixed ``meta_sequence`` list), load
+meta weights ONCE, then train sequentially through every domain WITHOUT
+resetting between domains — each domain continues from the previous domain's
+adapted weights, with optimizer slots carried throughout. After the full
+pass, one outer update: meta += (θ_final - meta) * meta_lr. A target domain
+is appended to the end of the sequence (uncapped) and also fitted after the
+outer update.
+"""
+
+from __future__ import annotations
+
+from mamdr_tpu.strategies.meta_base import MetaStrategy
+
+
+class DomainNegotiationStrategy(MetaStrategy):
+    def train(self) -> None:
+        t = self.trainer
+        meta = t.state.params
+        sequence = self.meta_sequence()
+
+        for epoch in range(self.tc.epoch):
+            if t.verbose:
+                print(f"Epoch: {epoch}", "-" * 30)
+            if self.tc.shuffle_sequence:
+                t.np_rng.shuffle(sequence)
+            train_sequence = list(sequence)
+            if self.target_domain >= 0:
+                train_sequence = train_sequence + [self.target_domain]
+
+            # Load meta ONCE per epoch; domains chain without reset.
+            t.state = t.state.replace(params=self.load_meta(t.state.params, meta))
+            for idx in train_sequence:
+                cap = (
+                    self.tc.meta_train_step
+                    if idx != self.target_domain
+                    else 0
+                )
+                t.state, loss = t.fit_domain(t.state, idx, max_steps=cap)
+                if t.verbose:
+                    print(f"Train on: Domain {idx}, Loss: {loss:.4f}")
+
+            meta = self.reptile_step(
+                meta, t.state.params, self.tc.meta_learning_rate
+            )
+            t.state = t.state.replace(params=self.load_meta(t.state.params, meta))
+            t.state = self.fit_target_domain(t.state)
+            if self.epoch_tail(epoch):
+                break

@@ -32,5 +32,7 @@ class JointStrategy(Strategy):
             if t.stopper.improved:
                 t.save_checkpoint()
             if t.verbose:
+                # In-training test report uses the best checkpoint, like the
+                # reference's val_and_test("test") reload (base_model.py:121).
                 print("Test Result: ")
-                t.val_and_test("test", params_fn=None)
+                self.test()

@@ -1,0 +1,200 @@
+"""MAMDR = Domain Negotiation + Domain Regularization (the flagship).
+
+Reference model_zoo/mamdr.py:14-196 + specific_base_model.py:16-178. State:
+shared weights (meta) + per-domain specific deltas, merged as
+shared+specific (plus) or shared*specific (times) on the meta-param subset.
+
+Per epoch:
+  Phase 1 (DN, shared): load shared, sequential full-epoch pass through the
+    shuffled domain sequence, then shared += (θ_final - shared)*meta_lr.
+  Phase 2 (DR, specific): for each query domain i — sample `sample_num`
+    support domains from the others (+ i itself iff add_query_domain); for
+    each support j: load merge(shared, specific_i), train one full epoch on
+    j, then ≤domain_regulation_step steps on i, then
+    specific_i += (θ - merged)*meta_lr and re-merge. "batch" variant
+    accumulates (θ - merged) [times: ×shared] and applies
+    specific_i += Σ/sample_num·meta_lr once.
+  Optional finetune_every_epoch: extra pass on i updating specific only:
+    specific_i = θ - merged.
+
+Early stop snapshots (best_shared, best_specific[i]) ON DEVICE and writes the
+decomposition checkpoint — which the reference never serialises (SURVEY §5.4
+gap): reference MAMDR cannot resume across processes; this one can.
+Evaluation merges shared+specific per domain (specific_base_model.py:64-97).
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import jax
+
+from mamdr_tpu.strategies import ops
+from mamdr_tpu.strategies.meta_base import MetaStrategy
+from mamdr_tpu.strategies.separate import separate_train_val_test
+from mamdr_tpu.train import checkpoints
+from mamdr_tpu.utils import trees
+
+
+class MAMDRStrategy(MetaStrategy):
+    def __init__(self, trainer):
+        super().__init__(trainer)
+        method = self.tc.merged_method
+        m = self.mask
+        self.merge = jax.jit(
+            lambda sh, sp: ops.merge_weights(sh, sp, m, method)
+        )
+        self.dr_acc = jax.jit(
+            lambda acc, adapted, merged, sh: ops.dr_accumulate(
+                acc, adapted, merged, sh, m, method
+            )
+        )
+        self.spec_from_adapted = jax.jit(
+            lambda adapted, merged, sp: ops.specific_from_adapted(adapted, merged, sp, m)
+        )
+        self.shared = trainer.state.params
+        if self.tc.specific_init == "zeros":
+            self.specific: List = [
+                trees.tree_zeros_like(self.shared) for _ in range(self.n_domain)
+            ]
+        else:
+            self.specific = [
+                trainer.fresh_params(seed=trainer.dataset.seed + 1 + i)
+                for i in range(self.n_domain)
+            ]
+        self.best_shared = self.shared
+        self.best_specific = list(self.specific)
+
+    # ---------------- eval plumbing ----------------
+
+    def val_params_fn(self, idx: int):
+        t = self.trainer
+        merged = self.merge(self.shared, self.specific[idx])
+        return (
+            self.load_meta(t.state.params, merged),
+            t.state.batch_stats,
+        )
+
+    def _best_params_fn(self, idx: int):
+        t = self.trainer
+        merged = self.merge(self.best_shared, self.best_specific[idx])
+        return (self.load_meta(t.state.params, merged), t.state.batch_stats)
+
+    def save_best(self) -> None:
+        self.best_shared = self.shared
+        self.best_specific = list(self.specific)
+        self.trainer.save_checkpoint()  # merged-agnostic full params (ref parity)
+        checkpoints.save_decomposition(
+            self.trainer.checkpoint_dir + "/decomposition",
+            self.best_shared,
+            self.best_specific,
+            extra={"merged_method": self.tc.merged_method},
+        )
+
+    def test(self):
+        if self.trainer.verbose:
+            pass
+        return self.trainer.val_and_test("test", params_fn=self._best_params_fn)
+
+    def finetune(self):
+        """Per-domain SGD finetune from merge(best_shared, best_specific_i)
+        (reference specific_base_model.py:99-162, SGD lr 0.001 hardcoded)."""
+        t = self.trainer
+        return separate_train_val_test(
+            t, init_params=False, params_fn=self._best_params_fn
+        )
+
+    # ---------------- training ----------------
+
+    def train(self) -> None:
+        t = self.trainer
+        sequence = self.meta_sequence()
+        meta_lr = self.tc.meta_learning_rate
+        batch_mode = self.spec.batch_update
+
+        for epoch in range(self.tc.epoch):
+            if t.verbose:
+                print(f"Epoch: {epoch}", "-" * 30)
+            if self.tc.shuffle_sequence:
+                t.np_rng.shuffle(sequence)
+
+            # ---- Phase 1: DN on shared ----
+            t.state = t.state.replace(
+                params=self.load_meta(t.state.params, self.shared)
+            )
+            for idx in sequence:
+                t.state, _ = t.fit_domain(t.state, idx)
+            self.shared = self.reptile_step(self.shared, t.state.params, meta_lr)
+
+            # ---- Phase 2: DR on specific ----
+            for idx in sequence:
+                candidates = [d for d in sequence if d != idx]
+                aux_idxs = list(
+                    t.np_rng.choice(
+                        candidates,
+                        size=min(self.tc.sample_num, len(candidates)),
+                        replace=False,
+                    )
+                )
+                if self.tc.add_query_domain:
+                    aux_idxs.append(idx)
+
+                merged = self.merge(self.shared, self.specific[idx])
+                acc = trees.tree_zeros_like(self.shared) if batch_mode else None
+
+                for aux_idx in aux_idxs:
+                    if t.verbose:
+                        print(f"Support Domain: {aux_idx}, Query Domain: {idx}")
+                    t.state = t.state.replace(
+                        params=self.load_meta(t.state.params, merged)
+                    )
+                    # full epoch on the support domain
+                    t.state, _ = t.fit_domain(t.state, int(aux_idx))
+                    # regularize on the query domain (capped steps)
+                    t.state, _ = t.fit_domain(
+                        t.state, idx, max_steps=self.tc.domain_regulation_step
+                    )
+                    if batch_mode:
+                        acc = self.dr_acc(acc, t.state.params, merged, self.shared)
+                    else:
+                        self.specific[idx] = self.scaled_add_from(
+                            self.specific[idx], t.state.params, merged, meta_lr
+                        )
+                        merged = self.merge(self.shared, self.specific[idx])
+
+                if batch_mode:
+                    self.specific[idx] = self.scaled_add(
+                        self.specific[idx], acc, meta_lr / self.tc.sample_num
+                    )
+
+                if self.tc.finetune_every_epoch:
+                    merged = self.merge(self.shared, self.specific[idx])
+                    t.state = t.state.replace(
+                        params=self.load_meta(t.state.params, merged)
+                    )
+                    t.state, loss = t.fit_domain(t.state, idx)
+                    if t.verbose:
+                        print(f"Train on: Domain {idx}, Loss: {loss:.4f}")
+                    self.specific[idx] = self.spec_from_adapted(
+                        t.state.params, merged, self.specific[idx]
+                    )
+
+            if self.epoch_tail(epoch):
+                break
+
+    def scaled_add_from(self, specific, adapted, merged, lr):
+        """specific += (adapted - merged) * lr on masked leaves
+        (reference mamdr.py:173-180 with merged as the base)."""
+        return self.delta_scaled(specific, adapted, merged, lr)
+
+    @property
+    def delta_scaled(self):
+        if not hasattr(self, "_delta_scaled"):
+            m = self.mask
+            self._delta_scaled = jax.jit(
+                lambda sp, a, mg, lr: jax.tree_util.tree_map(
+                    lambda mm, sp_, a_, mg_: sp_ + (a_ - mg_) * lr if mm else sp_,
+                    m, sp, a, mg,
+                )
+            )
+        return self._delta_scaled

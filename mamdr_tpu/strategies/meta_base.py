@@ -1,0 +1,149 @@
+"""Shared machinery for the meta strategies (MAML family).
+
+Holds the meta-parameter mask, jitted masked-op closures, the support/query
+data split (reference maml.py:294-341), target-domain handling, the
+meta-finetune validation protocol (maml.py:245-287), and the meta-epoch
+early-stop/test loop shared verbatim by MAML/Reptile/DN/MAMDR/MLDG
+(maml.py:124-150 and duplicates).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import numpy as np
+
+from mamdr_tpu.data.dataset import split_support_query
+from mamdr_tpu.strategies import ops
+from mamdr_tpu.strategies.base import Strategy
+from mamdr_tpu.train.trainer import Trainer
+from mamdr_tpu.utils import trees
+
+
+class MetaStrategy(Strategy):
+    def __init__(self, trainer: Trainer):
+        super().__init__(trainer)
+        self.mask = trees.meta_parm_mask(
+            trainer.state.params, self.tc.meta_parms
+        )
+        # Jitted masked-op closures (mask is static inside the closure).
+        m = self.mask
+        self.load_meta = jax.jit(lambda p, s: ops.load_masked(p, s, m))
+        self.reptile_step = jax.jit(
+            lambda meta, adapted, lr: ops.reptile_update(meta, adapted, lr, m)
+        )
+        self.delta_acc = jax.jit(
+            lambda acc, adapted, base: ops.delta_accumulate(acc, adapted, base, m)
+        )
+        self.scaled_add = jax.jit(
+            lambda t, d, s: ops.scaled_add(t, d, s, m)
+        )
+        self.mask_grads = jax.jit(lambda g: ops.tree_where_mask_zero(g, m))
+        self.target_domain: int = self.tc.target_domain
+
+    # ---------------- sequences / data ----------------
+
+    def domain_sequence(self) -> List[int]:
+        """All domains minus the target (reference maml.py:67-68)."""
+        return [
+            i for i in range(self.n_domain)
+            if not (self.target_domain >= 0 and i == self.target_domain)
+        ]
+
+    def meta_sequence(self) -> List[int]:
+        """DN/MAMDR sequence: explicit list config or domain order
+        (reference domain_negotiation.py:125-146)."""
+        seq = self.domain_sequence()
+        ms = self.tc.meta_sequence
+        if isinstance(ms, list):
+            if len(ms) != len(seq):
+                raise ValueError("All the domains must be given in the sequence")
+            return list(ms)
+        return seq
+
+    def support_query(self, idx: int):
+        """Per-domain support/query split; target_domain redirects the query
+        set to the target's train split (reference maml.py:335-337)."""
+        support, query = split_support_query(
+            self.trainer.dataset.train[idx],
+            self.tc.meta_split,
+            self.tc.meta_split_ratio,
+            self.trainer.np_rng,
+        )
+        if self.target_domain >= 0:
+            query = self.trainer.dataset.train[self.target_domain]
+        return support, query
+
+    def cap_steps(self, n_batches: int) -> int:
+        if self.tc.meta_train_step > 0:
+            return min(n_batches, self.tc.meta_train_step)
+        return n_batches
+
+    # ---------------- validation / early stop ----------------
+
+    def val_params_fn(self, idx: int):
+        t = self.trainer
+        return t.state.params, t.state.batch_stats
+
+    def meta_finetune_val(self) -> Tuple[float, float, Dict, Dict]:
+        """Finetune meta_finetune_step epochs per domain, then val
+        (reference maml.py:245-287); weights restored afterwards."""
+        t = self.trainer
+        base_state = t.state
+        domain_loss, domain_auc = {}, {}
+        for idx in range(self.n_domain):
+            state = base_state
+            for _ in range(self.tc.meta_finetune_step):
+                state, _ = t.fit_domain(state, idx)
+            l, a = t.evaluate_domain("val", idx, state.params, state.batch_stats)
+            domain_loss[str(idx)] = l
+            domain_auc[str(idx)] = a
+        avg_loss = sum(domain_loss.values()) / len(domain_loss)
+        avg_auc = sum(domain_auc.values()) / len(domain_auc)
+        if t.verbose:
+            print("Loss: ", domain_loss)
+            print("AUC: ", domain_auc)
+            print(f"Overall val Loss: {avg_loss}, AUC: {avg_auc}")
+        return avg_loss, avg_auc, domain_loss, domain_auc
+
+    def validate(self) -> Tuple[float, float, Dict, Dict]:
+        if self.trainer.verbose:
+            print("Val Result: ")
+        if self.tc.meta_finetune_step > 0:
+            return self.meta_finetune_val()
+        return self.trainer.val_and_test("val", params_fn=self.val_params_fn)
+
+    def epoch_tail(self, epoch: int) -> bool:
+        """Val / early-stop / test tail of every meta epoch
+        (reference maml.py:124-150). Returns True to stop training."""
+        t = self.trainer
+        if epoch % self.tc.val_every_step != 0:
+            return False
+        _, avg_auc, _, domain_auc = self.validate()
+        metric = (
+            domain_auc[str(self.target_domain)]
+            if self.target_domain >= 0
+            else avg_auc
+        )
+        if t.stopper.step(metric):
+            return True
+        if t.stopper.improved:
+            self.save_best()
+        if t.verbose:
+            # Best-checkpoint test report (reference reloads before test eval).
+            print("Test Result: ")
+            self.test()
+        return False
+
+    def save_best(self) -> None:
+        self.trainer.save_checkpoint()
+
+    def fit_target_domain(self, state):
+        """Full-epoch pass on the held-out target domain after the outer
+        update (reference maml.py:125-128, domain_negotiation.py:90-94)."""
+        if self.target_domain >= 0:
+            if self.trainer.verbose:
+                print(f"Train on target domain: {self.target_domain}")
+            state, _ = self.trainer.fit_domain(state, self.target_domain)
+        return state

@@ -1,0 +1,80 @@
+"""PCGrad: cross-domain gradient surgery.
+
+Reference model_zoo/pcgrad.py:16-332. Per epoch, per (shuffled) query domain:
+accumulate the query domain's grads at the current weights (capped by
+meta_train_step), then for each of `sample_num` sampled aux domains
+accumulate a full-epoch grad and project it before summing; apply the final
+sum with a meta-Adam(meta_lr). The model's own optimizer is never used.
+
+Two documented quirks reproduced in mode="reference"
+(train.pcgrad_mode; SURVEY §7.3.5):
+  1. projection fires on dot>0 and normalises by ||g|| (pcgrad.py:152-160) —
+     the published PCGrad projects on dot<0 with ||g||²;
+  2. `final_grads = current_grads` aliases the SAME arrays (pcgrad.py:102-103)
+     and the projection mutates them in place — so each aux grad is projected
+     against the RUNNING SUM of query+previously-projected grads, not the
+     original query grad.
+mode="paper" implements the published rule (project vs the original query
+grads, dot<0, ||g||²).
+"""
+
+from __future__ import annotations
+
+import jax
+
+from mamdr_tpu.strategies import ops
+from mamdr_tpu.strategies.maml import MAMLStrategy
+from mamdr_tpu.utils import trees
+
+
+class PCGradStrategy(MAMLStrategy):
+    def __init__(self, trainer):
+        super().__init__(trainer)
+        self._project = jax.jit(
+            lambda gq, ga: ops.pcgrad_project(gq, ga, self.tc.pcgrad_mode)
+        )
+        self._add = jax.jit(ops.tree_add_trees)
+
+    def train(self) -> None:
+        t = self.trainer
+        sequence = self.domain_sequence()
+        mode = self.tc.pcgrad_mode
+
+        for epoch in range(self.tc.epoch):
+            if t.verbose:
+                print(f"Epoch: {epoch}", "-" * 30)
+            t.np_rng.shuffle(sequence)
+            for idx in sequence:
+                support, _ = self.support_query(idx)
+                zero = trees.tree_zeros_like(t.state.params)
+                query_grads = self.accumulate_split(
+                    t.state.params, t.state.batch_stats, support, zero, cap=True
+                )
+                running = query_grads
+                candidates = [d for d in sequence if d != idx]
+                aux_idxs = t.np_rng.choice(
+                    candidates,
+                    size=min(self.tc.sample_num, len(candidates)),
+                    replace=False,
+                )
+                for aux_idx in aux_idxs:
+                    if t.verbose:
+                        print(f"Support Domain: {aux_idx}, Query Domain: {idx}")
+                    aux_grads = self.accumulate_split(
+                        t.state.params,
+                        t.state.batch_stats,
+                        t.dataset.train[int(aux_idx)],
+                        trees.tree_zeros_like(t.state.params),
+                        cap=False,  # aux epochs are uncapped (pcgrad.py:116-120)
+                    )
+                    base = running if mode == "reference" else query_grads
+                    projected = self._project(base, aux_grads)
+                    running = self._add(running, projected)
+                new_params = self.meta_apply(t.state.params, running)
+                t.state = t.state.replace(params=new_params)
+            if self.epoch_tail(epoch):
+                break
+
+    def val_params_fn(self, idx: int):
+        t = self.trainer
+        return t.state.params, t.state.batch_stats

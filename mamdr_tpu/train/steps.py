@@ -38,6 +38,15 @@ class StepConfig(NamedTuple):
     num_thresholds: int = 500
     has_batch_stats: bool = False
     has_dropout: bool = False
+    # Meta-grad accumulation mode (average_meta_grad, reference
+    # maml.py:208-229): "sum" (none/mean — mean scales at apply time),
+    # "ema" (moving_mean, 0.999), "drop" (Dropout 0.2 on 1-D grads).
+    # NOTE reference quirk: its accumulate K.function runs at learning phase
+    # 0, so its Dropout is actually a no-op and query grads see no dropout;
+    # we match the no-dropout part (train=False below) but implement "drop"
+    # as real inverted dropout (the code's evident intent; no shipped config
+    # uses it).
+    meta_accumulate: str = "sum"
 
 
 def weighted_bce(logits, labels, weights):
@@ -157,22 +166,45 @@ def build_train_fns(model, tx: optax.GradientTransformation, cfg: StepConfig) ->
         return loss_sum / jnp.maximum(n_batches, 1.0), auc_result(auc_state)
 
     @jax.jit
-    def grad_epoch(params, batch_stats, stacked, rng):
-        """Accumulate grads of the data loss over all batches (MAML/MLDG query
-        passes — reference maml.py:196-234 accumulator vars)."""
+    def grad_epoch(params, batch_stats, stacked, rng, acc):
+        """Accumulate grads of the loss over all batches into ``acc``
+        (MAML/MLDG support/query passes — reference maml.py:196-234
+        accumulator variables, which persist across calls until cleared —
+        hence acc is threaded in/out).
 
-        def step(carry, xs):
+        Grads are evaluated with train=False: the reference accumulates via a
+        K.function at learning phase 0, so dropout is inactive during
+        meta-grad computation.
+        """
+
+        def step(carry, batch):
             acc, i = carry
-            batch = xs
             step_rng = jax.random.fold_in(rng, i)
             _, grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                params, batch_stats, batch, step_rng, True
+                params, batch_stats, batch, step_rng, False
             )
-            return (trees.tree_add(acc, grads), i + 1), None
+            if cfg.meta_accumulate == "ema":
+                acc = jax.tree_util.tree_map(
+                    lambda a, g: a * 0.999 + g * 0.001, acc, grads
+                )
+            elif cfg.meta_accumulate == "drop":
+                def drop_leaf(path_g):
+                    g, r = path_g
+                    if g.ndim == 1:
+                        keep = jax.random.bernoulli(r, 0.8, g.shape)
+                        return jnp.where(keep, g / 0.8, 0.0)
+                    return g
+                leaves, treedef = jax.tree_util.tree_flatten(grads)
+                rngs = jax.random.split(step_rng, len(leaves))
+                dropped = [drop_leaf((g, r)) for g, r in zip(leaves, rngs)]
+                grads = jax.tree_util.tree_unflatten(treedef, dropped)
+                acc = trees.tree_add(acc, grads)
+            else:
+                acc = trees.tree_add(acc, grads)
+            return (acc, i + 1), None
 
-        zero = trees.tree_zeros_like(params)
-        (grads_sum, n), _ = jax.lax.scan(step, (zero, jnp.zeros((), jnp.int32)), stacked)
-        return grads_sum, n
+        (acc, n), _ = jax.lax.scan(step, (acc, jnp.zeros((), jnp.int32)), stacked)
+        return acc, n
 
     @jax.jit
     def apply_grads(params, opt_state, grads):

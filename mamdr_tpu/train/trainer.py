@@ -97,6 +97,9 @@ class Trainer:
             emb_trainable=tc.emb_trainable,
             has_batch_stats=bool(batch_stats),
             has_dropout=mc.dropout > 0.0,
+            meta_accumulate={"moving_mean": "ema", "drop": "drop"}.get(
+                tc.average_meta_grad, "sum"
+            ),
         )
         self.tx = make_optimizer(
             tc.optimizer, tc.learning_rate, params, tc.emb_trainable
@@ -118,6 +121,7 @@ class Trainer:
 
         self._eval_cache: Dict[Tuple[str, int], Dict] = {}
         self.stopper = EarlyStopper(tc.patience)
+        self.best_params = None  # on-device mirror of the best checkpoint
 
         ts = time.strftime("%Y%m%d-%H%M%S")
         self.checkpoint_dir = osp.join(
@@ -129,6 +133,27 @@ class Trainer:
             tc.result_save_path, mc.name, config.dataset.name,
             config.dataset.domain_split_path,
         )
+
+    # ---------------- params ----------------
+
+    def fresh_params(self, seed: int):
+        """A fresh random draw of the full parameter tree (same structure).
+
+        Used for MAMDR's per-domain specific-weight init, which re-runs the
+        initialisers per domain (reference mamdr.py:30-33, init_layer at
+        specific_base_model.py:174-178).
+        """
+        sample = self._sample_batch()
+        variables = self.model.init(
+            {"params": jax.random.PRNGKey(seed), "dropout": jax.random.PRNGKey(seed)},
+            sample["uid"], sample["pid"], sample["domain"], train=False,
+        )
+        params = {"model": variables["params"]}
+        if self.spec.uncertainty_weight:
+            params["uncertainty"] = {
+                "log_vars": jnp.ones((self.dataset.n_domain, 1), jnp.float32)
+            }
+        return params
 
     # ---------------- data ----------------
 
@@ -238,9 +263,9 @@ class Trainer:
     # ---------------- checkpoints / results ----------------
 
     def save_checkpoint(self, params=None) -> None:
-        checkpoints.save_pytree(
-            self.checkpoint_path, params if params is not None else self.state.params
-        )
+        params = params if params is not None else self.state.params
+        self.best_params = params  # keep on device; disk write is the backup
+        checkpoints.save_pytree(self.checkpoint_path, params)
 
     def load_checkpoint(self):
         return checkpoints.load_pytree(self.checkpoint_path, self.state.params)
