@@ -1,0 +1,180 @@
+"""Throughput benchmark: full MAMDR (DN+DR) training epoch, Taobao-30 shapes.
+
+Runs the flagship MLP+DN+DR strategy on the one real TPU chip with the
+Taobao-30 benchmark's shapes (30 domains, 128-d frozen pretrained user/item
+embeddings, batch 1024, hidden [256,128,64] — config/Taobao-10/
+deepctr_DN+DR.json hparams) over synthetic data, and measures end-to-end
+training examples/sec for one full MAMDR epoch: DN phase (sequential pass
+over all domains) + DR phase (sample_num+1 support/query runs per domain),
+including all weight-space merge/outer-update ops and host-side batch
+stacking — i.e. the same work the reference does per epoch in
+model_zoo/mamdr.py:41-108.
+
+Baseline: the reference publishes no throughput (BASELINE.md); the TF1-GPU
+estimate used for vs_baseline is 200k examples/s — one sess.run per 1024
+batch at ~5ms on an RTX 2080 (graph dispatch dominates at this model size;
+reference prints wall-clock only, maml.py:101-103). The BASELINE.json target
+is >=5x this.
+
+Prints ONE JSON line on stdout; progress goes to stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_EXAMPLES_PER_SEC = 200_000.0  # estimated TF1-GPU reference (see above)
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def enable_compile_cache():
+    """First XLA compile through the axon tunnel can take minutes; the
+    persistent cache makes warmup near-instant on every later run."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def main():
+    import jax
+
+    enable_compile_cache()
+
+    from mamdr_tpu.config import ExperimentConfig
+    from mamdr_tpu.data.synthetic import make_synthetic_dataset
+    from mamdr_tpu.strategies.mamdr import MAMDRStrategy
+    from mamdr_tpu.train.trainer import Trainer
+
+    n_domain = 30
+    n_uid = 100_000
+    n_pid = 100_000
+    n_per_domain = 20_000
+    batch_size = 1024
+
+    cfg = ExperimentConfig.from_dict(
+        {
+            "model": {
+                "name": "mlp_meta_mamdr_finetune",
+                "user_dim": 128,
+                "item_dim": 128,
+                "domain_dim": 128,
+                "hidden_dim": [256, 128, 64],
+                "dropout": 0.5,
+            },
+            "train": {
+                "load_pretrain_emb": True,
+                "emb_trainable": False,
+                "learning_rate": 1e-3,
+                "meta_learning_rate": 0.1,
+                "merged_method": "plus",
+                "sample_num": 5,
+                "add_query_domain": True,
+                "shuffle_sequence": True,
+                "epoch": 1,
+            },
+            "dataset": {"name": "synthetic", "batch_size": batch_size, "seed": 123},
+        }
+    )
+
+    log(f"devices: {jax.devices()}")
+    ds = make_synthetic_dataset(
+        n_domain=n_domain,
+        n_uid=n_uid,
+        n_pid=n_pid,
+        n_per_domain=n_per_domain,
+        seed=123,
+        long_tail=False,
+        batch_size=batch_size,
+    )
+    # Frozen pretrained 128-d tables (Taobao recipe).
+    rng = np.random.default_rng(0)
+    ds.user_emb = rng.normal(0, 0.1, (n_uid, 128)).astype(np.float32)
+    ds.item_emb = rng.normal(0, 0.1, (n_pid, 128)).astype(np.float32)
+
+    trainer = Trainer(cfg, ds, verbose=False)
+    strat = MAMDRStrategy(trainer)
+
+    steps_per_domain = -(-int(ds.train[0].n) // batch_size)
+    # One MAMDR epoch trains: DN = n_domain epochs; DR = n_domain *
+    # (sample_num + add_query) * (support epoch + query epoch).
+    runs_per_epoch = n_domain + n_domain * (cfg.train.sample_num + 1) * 2
+    examples_per_epoch = runs_per_epoch * ds.train[0].n
+
+    log("warmup (compiles: train_epoch + weight-space ops)...")
+    t0 = time.time()
+    st, _ = trainer.fit_domain(trainer.state, 0)
+    trainer.state = st
+    strat.shared = strat.reptile_step(strat.shared, st.params, 0.0)
+    merged = strat.merge(strat.shared, strat.specific[0])
+    trainer.state = st.replace(params=strat.load_meta(st.params, merged))
+    strat.specific[0] = strat.scaled_add_from(strat.specific[0], st.params, merged, 0.0)
+    jax.block_until_ready(strat.specific[0])
+    log(f"warmup: {time.time() - t0:.1f}s")
+
+    log("measured epoch...")
+    t0 = time.time()
+    _run_one_mamdr_epoch(strat, trainer)
+    elapsed = time.time() - t0
+    throughput = examples_per_epoch / elapsed
+    log(
+        f"epoch: {elapsed:.2f}s, {examples_per_epoch} examples "
+        f"({runs_per_epoch} domain-epochs x {steps_per_domain} steps) "
+        f"-> {throughput:,.0f} ex/s"
+    )
+
+    print(
+        json.dumps(
+            {
+                "metric": "mamdr_dn_dr_train_examples_per_sec_per_chip",
+                "value": round(throughput, 1),
+                "unit": "examples/s",
+                "vs_baseline": round(throughput / BASELINE_EXAMPLES_PER_SEC, 2),
+            }
+        )
+    )
+
+
+def _run_one_mamdr_epoch(strat, trainer):
+    """One DN+DR epoch, inlined from MAMDRStrategy.train's epoch body."""
+    import jax
+
+    t = trainer
+    sequence = strat.meta_sequence()
+    meta_lr = strat.tc.meta_learning_rate
+    t.np_rng.shuffle(sequence)
+
+    # Phase 1: DN
+    t.state = t.state.replace(params=strat.load_meta(t.state.params, strat.shared))
+    for idx in sequence:
+        t.state, _ = t.fit_domain(t.state, idx)
+    strat.shared = strat.reptile_step(strat.shared, t.state.params, meta_lr)
+
+    # Phase 2: DR
+    for idx in sequence:
+        candidates = [d for d in sequence if d != idx]
+        aux_idxs = list(
+            t.np_rng.choice(candidates, size=strat.tc.sample_num, replace=False)
+        )
+        aux_idxs.append(idx)
+        merged = strat.merge(strat.shared, strat.specific[idx])
+        for aux_idx in aux_idxs:
+            t.state = t.state.replace(params=strat.load_meta(t.state.params, merged))
+            t.state, _ = t.fit_domain(t.state, int(aux_idx))
+            t.state, _ = t.fit_domain(t.state, idx)
+            strat.specific[idx] = strat.scaled_add_from(
+                strat.specific[idx], t.state.params, merged, meta_lr
+            )
+            merged = strat.merge(strat.shared, strat.specific[idx])
+    jax.block_until_ready(strat.shared)
+
+
+if __name__ == "__main__":
+    main()

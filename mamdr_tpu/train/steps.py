@@ -244,8 +244,13 @@ def make_optimizer(
     def frozen(name_: str, x) -> bool:
         return "user_emb" in name_ or "item_emb" in name_
 
-    mask = trees.named_tree_map(frozen, params)
+    frozen_mask = trees.named_tree_map(frozen, params)
+    trainable_mask = jax.tree_util.tree_map(lambda b: not b, frozen_mask)
+    # Frozen tables: zero updates AND no optimizer slots — masked(adam) keeps
+    # moments only for trainable leaves, so a frozen 100k x 128 Taobao table
+    # costs zero HBM traffic per step (its dead grad/update work is DCE'd
+    # inside the jitted train step).
     return optax.chain(
-        optax.masked(optax.set_to_zero(), mask),
-        base,
+        optax.masked(optax.set_to_zero(), frozen_mask),
+        optax.masked(base, trainable_mask),
     )
