@@ -108,21 +108,31 @@ def main():
     runs_per_epoch = n_domain + n_domain * (cfg.train.sample_num + 1) * 2
     examples_per_epoch = runs_per_epoch * ds.train[0].n
 
-    log("warmup (compiles: train_epoch + weight-space ops)...")
+    def sync():
+        # NOTE: jax.block_until_ready is unreliable on the axon platform —
+        # force completion with device->host scalar readbacks instead.
+        leaves = (
+            jax.tree_util.tree_leaves(trainer.state.params)[:1]
+            + jax.tree_util.tree_leaves(strat.shared)[:1]
+            + jax.tree_util.tree_leaves(strat._spec_stack)[3:4]
+        )
+        for leaf in leaves:
+            float(leaf.sum())
+
+    log("warmup epoch (compiles fused DN+DR phases)...")
+    strat.prepare_fused()
     t0 = time.time()
-    st, _ = trainer.fit_domain(trainer.state, 0)
-    trainer.state = st
-    strat.shared = strat.reptile_step(strat.shared, st.params, 0.0)
-    merged = strat.merge(strat.shared, strat.specific[0])
-    trainer.state = st.replace(params=strat.load_meta(st.params, merged))
-    strat.specific[0] = strat.scaled_add_from(strat.specific[0], st.params, merged, 0.0)
-    jax.block_until_ready(strat.specific[0])
+    strat.run_fused_epoch()
+    sync()
     log(f"warmup: {time.time() - t0:.1f}s")
 
-    log("measured epoch...")
+    log("measuring 3 epochs (2 dispatches each)...")
+    n_measure = 3
     t0 = time.time()
-    _run_one_mamdr_epoch(strat, trainer)
-    elapsed = time.time() - t0
+    for _ in range(n_measure):
+        strat.run_fused_epoch()
+        sync()
+    elapsed = (time.time() - t0) / n_measure
     throughput = examples_per_epoch / elapsed
     log(
         f"epoch: {elapsed:.2f}s, {examples_per_epoch} examples "
@@ -140,40 +150,6 @@ def main():
             }
         )
     )
-
-
-def _run_one_mamdr_epoch(strat, trainer):
-    """One DN+DR epoch, inlined from MAMDRStrategy.train's epoch body."""
-    import jax
-
-    t = trainer
-    sequence = strat.meta_sequence()
-    meta_lr = strat.tc.meta_learning_rate
-    t.np_rng.shuffle(sequence)
-
-    # Phase 1: DN
-    t.state = t.state.replace(params=strat.load_meta(t.state.params, strat.shared))
-    for idx in sequence:
-        t.state, _ = t.fit_domain(t.state, idx)
-    strat.shared = strat.reptile_step(strat.shared, t.state.params, meta_lr)
-
-    # Phase 2: DR
-    for idx in sequence:
-        candidates = [d for d in sequence if d != idx]
-        aux_idxs = list(
-            t.np_rng.choice(candidates, size=strat.tc.sample_num, replace=False)
-        )
-        aux_idxs.append(idx)
-        merged = strat.merge(strat.shared, strat.specific[idx])
-        for aux_idx in aux_idxs:
-            t.state = t.state.replace(params=strat.load_meta(t.state.params, merged))
-            t.state, _ = t.fit_domain(t.state, int(aux_idx))
-            t.state, _ = t.fit_domain(t.state, idx)
-            strat.specific[idx] = strat.scaled_add_from(
-                strat.specific[idx], t.state.params, merged, meta_lr
-            )
-            merged = strat.merge(strat.shared, strat.specific[idx])
-    jax.block_until_ready(strat.shared)
 
 
 if __name__ == "__main__":

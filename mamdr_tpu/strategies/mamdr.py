@@ -64,6 +64,13 @@ class MAMDRStrategy(MetaStrategy):
             ]
         self.best_shared = self.shared
         self.best_specific = list(self.specific)
+        # The fused path (whole DN / DR phase per dispatch) covers the shipped
+        # DN+DR recipe; exotic variants fall back to the per-call loop.
+        self.use_fused = (
+            not self.spec.batch_update
+            and not self.tc.finetune_every_epoch
+            and self.target_domain < 0
+        )
 
     # ---------------- eval plumbing ----------------
 
@@ -107,6 +114,79 @@ class MAMDRStrategy(MetaStrategy):
     # ---------------- training ----------------
 
     def train(self) -> None:
+        if self.use_fused:
+            self._train_fused()
+        else:
+            self._train_loop()
+
+    def prepare_fused(self) -> None:
+        """Build the device-resident data block and the 2 fused phase fns."""
+        from mamdr_tpu.train import fused
+        from mamdr_tpu.train.steps import make_train_step
+
+        t = self.trainer
+        train_step, _ = make_train_step(t.model, t.tx, t.step_cfg)
+        self._block, n_steps = fused.stack_domains_on_device(
+            t.dataset.train, t.dataset.batch_size
+        )
+        self._fused_steps_per_domain = n_steps
+        self._dn_phase, self._dr_phase = fused.make_fused_mamdr(
+            train_step,
+            self.mask,
+            self.tc.merged_method,
+            n_steps,
+            t.dataset.batch_size,
+            self.tc.domain_regulation_step,
+        )
+        self._spec_stack = fused.stack_specific(self.specific, self.mask)
+
+    def run_fused_epoch(self) -> None:
+        """One DN+DR epoch in exactly 2 device dispatches."""
+        import numpy as np
+
+        t = self.trainer
+        sequence = self.meta_sequence()
+        if self.tc.shuffle_sequence:
+            t.np_rng.shuffle(sequence)
+        order = np.asarray(sequence, np.int32)
+        k = self.tc.sample_num
+        aux_rows = []
+        for q in sequence:
+            cand = [d for d in sequence if d != q]
+            row = list(t.np_rng.choice(cand, size=min(k, len(cand)), replace=False))
+            if self.tc.add_query_domain:
+                row.append(q)
+            aux_rows.append(row)
+        aux = np.asarray(aux_rows, np.int32)
+
+        t.rng, r1, r2 = jax.random.split(t.rng, 3)
+        t.state, self.shared, _losses = self._dn_phase(
+            t.state, self.shared, self._block, order, r1, self.tc.meta_learning_rate
+        )
+        t.state, self._spec_stack = self._dr_phase(
+            t.state, self.shared, self._spec_stack, self._block, order, aux, r2,
+            self.tc.meta_learning_rate,
+        )
+
+    def _train_fused(self) -> None:
+        """Fused training loop: 2 dispatches per epoch (mamdr_tpu.train.fused).
+        Semantics identical to _train_loop for the shipped non-batch DN+DR
+        recipe."""
+        from mamdr_tpu.train import fused
+
+        t = self.trainer
+        self.prepare_fused()
+        for epoch in range(self.tc.epoch):
+            if t.verbose:
+                print(f"Epoch: {epoch}", "-" * 30)
+            self.run_fused_epoch()
+            self.specific = fused.unstack_specific(
+                self._spec_stack, self.mask, self.n_domain
+            )
+            if self.epoch_tail(epoch):
+                break
+
+    def _train_loop(self) -> None:
         t = self.trainer
         sequence = self.meta_sequence()
         meta_lr = self.tc.meta_learning_rate

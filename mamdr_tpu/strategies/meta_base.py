@@ -27,6 +27,17 @@ class MetaStrategy(Strategy):
         self.mask = trees.meta_parm_mask(
             trainer.state.params, self.tc.meta_parms
         )
+        # Meta params are drawn from TRAINABLE weights only (reference
+        # maml.py:159 iterates model.trainable_weights): frozen user/item
+        # tables are never meta parameters even under meta_parms=["all"].
+        if not self.tc.emb_trainable:
+            frozen = trees.named_tree_map(
+                lambda n, x: "user_emb" in n or "item_emb" in n,
+                trainer.state.params,
+            )
+            self.mask = jax.tree_util.tree_map(
+                lambda m, f: bool(m) and not f, self.mask, frozen
+            )
         # Jitted masked-op closures (mask is static inside the closure).
         m = self.mask
         self.load_meta = jax.jit(lambda p, s: ops.load_masked(p, s, m))

@@ -1,0 +1,215 @@
+"""Fused execution: whole training phases as single jit calls.
+
+On a tunneled/production TPU every dispatch costs tens of milliseconds while
+a batch-1024 CTR step computes in ~1ms, so per-epoch host orchestration —
+not FLOPs — bounds throughput. This module removes it:
+
+  - all domain data lives ON DEVICE once, padded to a uniform
+    [n_domain, n_steps*batch] block (weight-0 tail rows);
+  - epoch shuffling happens inside jit (jax.random.permutation + gather);
+  - a sequential multi-domain pass (the DN phase / joint loop) is ONE call:
+    lax.scan over domains, inner lax.scan over steps;
+  - the entire MAMDR DR phase (every query domain x sampled support runs,
+    including all merge/outer-update weight algebra) is ONE call.
+
+A full MAMDR epoch is then 2 dispatches instead of ~1000, with identical
+update semantics to the reference schedule (model_zoo/mamdr.py:41-108).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mamdr_tpu.data.dataset import DomainSplit
+from mamdr_tpu.strategies import ops
+from mamdr_tpu.train.state import TrainState
+
+Pytree = Any
+
+
+def stack_domains_on_device(
+    splits: List[DomainSplit], batch_size: int
+) -> Tuple[Dict[str, jax.Array], int]:
+    """Pack all domains into one device-resident block.
+
+    Returns ({col: [D, N_pad]}, n_steps) with N_pad = max_steps*batch over
+    domains; short domains wrap-around-pad with weight-0 rows.
+    """
+    d = len(splits)
+    max_n = max(s.n for s in splits)
+    n_steps = -(-max_n // batch_size)
+    n_pad = n_steps * batch_size
+    cols = {k: np.empty((d, n_pad), np.int32) for k in ("uid", "pid", "domain")}
+    cols["label"] = np.empty((d, n_pad), np.float32)
+    cols["weight"] = np.zeros((d, n_pad), np.float32)
+    for i, s in enumerate(splits):
+        idx = np.arange(n_pad) % s.n
+        cols["uid"][i] = s.uid[idx]
+        cols["pid"][i] = s.pid[idx]
+        cols["domain"][i] = s.domain[idx]
+        cols["label"][i] = s.label[idx]
+        cols["weight"][i, : s.n] = 1.0
+    return jax.device_put(cols), n_steps
+
+
+def _epoch_on_flat(train_step, state, flat, rng, n_steps: int, batch: int,
+                   cap_steps: int = 0):
+    """One shuffled epoch over a flat [N_pad] block, inside jit.
+
+    The shuffle permutes ALL rows (incl. the weight-0 pad tail), so pad rows
+    scatter across batches instead of forming a trailing partial batch —
+    loss/grad-equivalent to the reference's tf.data reshuffle, batch count
+    identical.
+    """
+    n_pad = n_steps * batch
+    perm = jax.random.permutation(rng, n_pad)
+    steps = n_steps if cap_steps <= 0 else min(cap_steps, n_steps)
+    idx = perm[: steps * batch].reshape(steps, batch)
+    batches = {k: jnp.take(v, idx, axis=0) for k, v in flat.items()}
+    # keep the single-domain invariant for pad rows: domain col is constant
+    state, losses = jax.lax.scan(train_step, state, batches)
+    return state, jnp.mean(losses)
+
+
+def make_fused_passes(train_step, n_steps: int, batch: int):
+    """Jitted multi-domain passes over a device-resident [D, N_pad] block."""
+
+    @jax.jit
+    def sequential_pass(state: TrainState, block, order, rng):
+        """Train one epoch on each domain in `order`, chained without reset
+        (DN inner loop / joint loop body). order: [D] int32."""
+
+        def body(carry, xs):
+            state = carry
+            dom_idx, r = xs
+            flat = {k: v[dom_idx] for k, v in block.items()}
+            state, loss = _epoch_on_flat(
+                train_step, state, flat, r, n_steps, batch
+            )
+            return state, loss
+
+        rngs = jax.random.split(rng, order.shape[0])
+        state, losses = jax.lax.scan(body, state, (order, rngs))
+        return state, losses
+
+    return sequential_pass
+
+
+def make_fused_mamdr(
+    train_step,
+    mask: Pytree,
+    merged_method: str,
+    n_steps: int,
+    batch: int,
+    domain_regulation_step: int = 0,
+):
+    """The full MAMDR epoch as two jitted calls (DN + DR).
+
+    Semantics per reference mamdr.py:41-108 (non-batch, no
+    finetune_every_epoch — the shipped DN+DR configs):
+
+    dn_phase: load shared -> sequential pass over `order` -> shared +=
+    (θ_end - shared)*meta_lr.
+
+    dr_phase: for each query domain q in `order`, for each support domain s
+    in aux[q]: load merge(shared, specific[q]); full epoch on s; ≤reg_step
+    epoch on q; specific[q] += (θ - merged)*meta_lr; re-merge. specific is
+    carried as a [D]-stacked pytree.
+    """
+
+    merge = partial(ops.merge_weights, mask=mask, method=merged_method)
+
+    @jax.jit
+    def dn_phase(state: TrainState, shared, block, order, rng, meta_lr):
+        state = state.replace(params=ops.load_masked(state.params, shared, mask))
+
+        def body(carry, xs):
+            state = carry
+            dom_idx, r = xs
+            flat = {k: v[dom_idx] for k, v in block.items()}
+            state, loss = _epoch_on_flat(train_step, state, flat, r, n_steps, batch)
+            return state, loss
+
+        rngs = jax.random.split(rng, order.shape[0])
+        state, losses = jax.lax.scan(body, state, (order, rngs))
+        shared = ops.reptile_update(shared, state.params, meta_lr, mask)
+        return state, shared, losses
+
+    @jax.jit
+    def dr_phase(state: TrainState, shared, specific_stack, block, order, aux, rng, meta_lr):
+        """order: [D] query domains; aux: [D, K] support domains per query;
+        specific_stack: pytree with leading axis n_domain on masked leaves."""
+
+        def get_spec(q):
+            return jax.tree_util.tree_map(
+                lambda m, s: s[q] if m else s, mask, specific_stack
+            )
+
+        def query_body(carry, xs):
+            state, specific_stack = carry
+            q, aux_q, r = xs
+            spec_q = get_spec(q)
+            query_flat = {k: v[q] for k, v in block.items()}
+
+            def aux_body(inner, xs2):
+                state, spec_q = inner
+                s_idx, r2 = xs2
+                merged = merge(shared, spec_q)
+                state = state.replace(
+                    params=ops.load_masked(state.params, merged, mask)
+                )
+                sup_flat = {k: v[s_idx] for k, v in block.items()}
+                r_sup, r_q = jax.random.split(r2)
+                state, _ = _epoch_on_flat(
+                    train_step, state, sup_flat, r_sup, n_steps, batch
+                )
+                state, _ = _epoch_on_flat(
+                    train_step, state, query_flat, r_q, n_steps, batch,
+                    cap_steps=domain_regulation_step,
+                )
+                spec_q = jax.tree_util.tree_map(
+                    lambda m, sp, a, mg: sp + (a - mg) * meta_lr if m else sp,
+                    mask, spec_q, state.params, merged,
+                )
+                return (state, spec_q), None
+
+            rngs2 = jax.random.split(r, aux_q.shape[0])
+            (state, spec_q), _ = jax.lax.scan(
+                aux_body, (state, spec_q), (aux_q, rngs2)
+            )
+            specific_stack = jax.tree_util.tree_map(
+                lambda m, st, sq: st.at[q].set(sq) if m else st,
+                mask, specific_stack, spec_q,
+            )
+            return (state, specific_stack), None
+
+        rngs = jax.random.split(rng, order.shape[0])
+        (state, specific_stack), _ = jax.lax.scan(
+            query_body, (state, specific_stack), (order, aux, rngs)
+        )
+        return state, specific_stack
+
+    return dn_phase, dr_phase
+
+
+def stack_specific(specific_list: List[Pytree], mask: Pytree) -> Pytree:
+    """[per-domain pytrees] -> one pytree with leading domain axis on masked
+    leaves (unmasked leaves take domain 0's value — they're never used)."""
+    return jax.tree_util.tree_map(
+        lambda m, *leaves: jnp.stack(leaves) if m else leaves[0],
+        mask, *specific_list,
+    )
+
+
+def unstack_specific(stacked: Pytree, mask: Pytree, n_domain: int) -> List[Pytree]:
+    return [
+        jax.tree_util.tree_map(
+            lambda m, s: s[i] if m else s, mask, stacked
+        )
+        for i in range(n_domain)
+    ]

@@ -120,7 +120,9 @@ class TrainFns(NamedTuple):
     apply_grads: Callable    # (params, opt_state, grads) -> (params, opt_state)
 
 
-def build_train_fns(model, tx: optax.GradientTransformation, cfg: StepConfig) -> TrainFns:
+def make_train_step(model, tx: optax.GradientTransformation, cfg: StepConfig):
+    """The one train step shared by every execution path (plain, fused,
+    sharded): (state, batch) -> (state, data_loss)."""
     loss_fn = make_loss_fn(model, cfg)
 
     def train_step(state: TrainState, batch):
@@ -137,6 +139,12 @@ def build_train_fns(model, tx: optax.GradientTransformation, cfg: StepConfig) ->
             step=state.step + 1,
         )
         return new_state, data_loss
+
+    return train_step, loss_fn
+
+
+def build_train_fns(model, tx: optax.GradientTransformation, cfg: StepConfig) -> TrainFns:
+    train_step, loss_fn = make_train_step(model, tx, cfg)
 
     @jax.jit
     def train_epoch(state: TrainState, stacked):
