@@ -32,7 +32,7 @@ class Strategy:
         """Test with best weights (reference base_model.py:121: test reloads)."""
         t = self.trainer
         best = t.best_params if t.best_params is not None else t.load_checkpoint()
-        return t.val_and_test("test", params_fn=lambda idx: (best, t.state.batch_stats))
+        return t.val_and_test("test", params=best)
 
     def finetune(self) -> Result:
         """Post-hoc per-domain finetune from best weights (run.py:82-85)."""

@@ -12,11 +12,47 @@ outer update.
 
 from __future__ import annotations
 
+import jax
+
 from mamdr_tpu.strategies.meta_base import MetaStrategy
 
 
 class DomainNegotiationStrategy(MetaStrategy):
     def train(self) -> None:
+        t = self.trainer
+        # Fused: one dispatch per DN epoch for the common recipe.
+        if self.target_domain < 0 and t.fused_padding_ok():
+            self._train_fused()
+            return
+        self._train_loop()
+
+    def _train_fused(self) -> None:
+        import numpy as np
+
+        from mamdr_tpu.train import fused
+
+        t = self.trainer
+        block, n_steps = t.train_block()
+        dn_epoch = fused.make_fused_dn(
+            t.train_step_fn(), self.mask, n_steps, t.dataset.batch_size,
+            cap_steps=self.tc.meta_train_step,
+        )
+        meta = t.state.params
+        sequence = self.meta_sequence()
+        for epoch in range(self.tc.epoch):
+            if t.verbose:
+                print(f"Epoch: {epoch}", "-" * 30)
+            if self.tc.shuffle_sequence:
+                t.np_rng.shuffle(sequence)
+            t.rng, sub = jax.random.split(t.rng)
+            t.state, meta, _losses = dn_epoch(
+                t.state, meta, block, np.asarray(sequence, np.int32), sub,
+                self.tc.meta_learning_rate,
+            )
+            if self.epoch_tail(epoch):
+                break
+
+    def _train_loop(self) -> None:
         t = self.trainer
         meta = t.state.params
         sequence = self.meta_sequence()

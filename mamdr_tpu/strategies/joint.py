@@ -5,9 +5,17 @@ DeepMTLCTR deep_mtl_ctr.py:68-98, UncertaintyWeight uncertainty_weight.py:60-94
 — all the same schedule). Per epoch: shuffle domain order, fit one epoch per
 domain sequentially, validate all domains, early-stop on macro val AUC (saving
 best weights), print test metrics.
+
+Execution: one fused dispatch per epoch (lax.scan over domains over steps,
+mamdr_tpu.train.fused.make_fused_passes) when padding waste allows; otherwise
+one dispatch per domain.
 """
 
 from __future__ import annotations
+
+import numpy as np
+
+import jax
 
 from mamdr_tpu.strategies.base import Strategy
 
@@ -15,15 +23,30 @@ from mamdr_tpu.strategies.base import Strategy
 class JointStrategy(Strategy):
     def train(self) -> None:
         t = self.trainer
+        use_fused = t.fused_padding_ok()
+        if use_fused:
+            from mamdr_tpu.train import fused
+
+            block, n_steps = t.train_block()
+            sequential_pass = fused.make_fused_passes(
+                t.train_step_fn(), n_steps, t.dataset.batch_size
+            )
+
         sequence = list(range(self.n_domain))
         for epoch in range(self.tc.epoch):
             if t.verbose:
                 print(f"Epoch: {epoch}", "-" * 30)
             t.np_rng.shuffle(sequence)
-            for idx in sequence:
-                if t.verbose:
-                    print(f"Train on: Domain {idx}")
-                t.state, loss = t.fit_domain(t.state, idx)
+            if use_fused:
+                t.rng, sub = jax.random.split(t.rng)
+                t.state, losses = sequential_pass(
+                    t.state, block, np.asarray(sequence, np.int32), sub
+                )
+            else:
+                for idx in sequence:
+                    if t.verbose:
+                        print(f"Train on: Domain {idx}")
+                    t.state, loss = t.fit_domain(t.state, idx)
             if t.verbose:
                 print("Val Result: ")
             _, avg_auc, _, _ = t.val_and_test("val")

@@ -87,6 +87,34 @@ class MAMDRStrategy(MetaStrategy):
         merged = self.merge(self.best_shared, self.best_specific[idx])
         return (self.load_meta(t.state.params, merged), t.state.batch_stats)
 
+    def _merged_eval(self, mode: str, shared, specific_list):
+        """All domains in one dispatch with per-domain merged weights."""
+        import numpy as np
+
+        from mamdr_tpu.train import fused
+
+        t = self.trainer
+        if not hasattr(self, "_eval_merged"):
+            self._eval_merged = fused.make_fused_eval_merged(
+                t.loss_fn, self.mask, self.tc.merged_method
+            )
+        spec_stack = fused.stack_specific(specific_list, self.mask)
+        losses, aucs = self._eval_merged(
+            t.state.params, t.state.batch_stats, shared, spec_stack,
+            t.eval_block(mode),
+        )
+        losses, aucs = np.asarray(losses), np.asarray(aucs)
+        domain_loss = {str(i): float(losses[i]) for i in range(len(losses))}
+        domain_auc = {str(i): float(aucs[i]) for i in range(len(aucs))}
+        return t.summarize(mode, domain_loss, domain_auc)
+
+    def validate(self):
+        if self.tc.meta_finetune_step > 0:
+            return super().validate()
+        if self.trainer.verbose:
+            print("Val Result: ")
+        return self._merged_eval("val", self.shared, self.specific)
+
     def save_best(self) -> None:
         self.best_shared = self.shared
         self.best_specific = list(self.specific)
@@ -99,9 +127,7 @@ class MAMDRStrategy(MetaStrategy):
         )
 
     def test(self):
-        if self.trainer.verbose:
-            pass
-        return self.trainer.val_and_test("test", params_fn=self._best_params_fn)
+        return self._merged_eval("test", self.best_shared, self.best_specific)
 
     def finetune(self):
         """Per-domain SGD finetune from merge(best_shared, best_specific_i)

@@ -16,6 +16,40 @@ from mamdr_tpu.utils import trees
 class ReptileStrategy(MetaStrategy):
     def train(self) -> None:
         t = self.trainer
+        if self.target_domain < 0 and t.fused_padding_ok():
+            self._train_fused()
+            return
+        self._train_loop()
+
+    def _train_fused(self) -> None:
+        """One dispatch per Reptile epoch (mamdr_tpu.train.fused)."""
+        import jax
+        import numpy as np
+
+        from mamdr_tpu.train import fused
+
+        t = self.trainer
+        block, n_steps = t.train_block()
+        reptile_epoch = fused.make_fused_reptile(
+            t.train_step_fn(), self.mask, n_steps, t.dataset.batch_size,
+            batch_mode=self.spec.batch_update, cap_steps=self.tc.meta_train_step,
+        )
+        meta = t.state.params
+        sequence = self.domain_sequence()
+        for epoch in range(self.tc.epoch):
+            if t.verbose:
+                print(f"Epoch: {epoch}", "-" * 30)
+            t.np_rng.shuffle(sequence)
+            t.rng, sub = jax.random.split(t.rng)
+            t.state, meta, _losses = reptile_epoch(
+                t.state, meta, block, np.asarray(sequence, np.int32), sub,
+                self.tc.meta_learning_rate,
+            )
+            if self.epoch_tail(epoch):
+                break
+
+    def _train_loop(self) -> None:
+        t = self.trainer
         meta = t.state.params  # meta weights live on device
         sequence = self.domain_sequence()
         batch_mode = self.spec.batch_update

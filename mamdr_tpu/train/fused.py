@@ -76,6 +76,92 @@ def _epoch_on_flat(train_step, state, flat, rng, n_steps: int, batch: int,
     return state, jnp.mean(losses)
 
 
+def stack_domains_eval(
+    splits: List[DomainSplit], batch_size: int
+) -> Dict[str, jax.Array]:
+    """Eval block [D, S, B], deterministic order, weight-0 padding."""
+    cols, n_steps = stack_domains_on_device(splits, batch_size)
+    return {
+        k: v.reshape(v.shape[0], n_steps, batch_size) for k, v in cols.items()
+    }
+
+
+def make_fused_eval(loss_fn, num_thresholds: int = 500):
+    """One dispatch evaluating EVERY domain: scan domains, inner scan batches
+    accumulating the 500-threshold confusion counts. Returns ([D] losses,
+    [D] aucs). Replaces the reference's per-domain model.evaluate loop
+    (base_model.py:130-136)."""
+    from mamdr_tpu.metrics.auc import auc_init, auc_result, auc_update
+
+    def eval_batch(carry, batch, params, batch_stats):
+        auc_state, loss_sum, n = carry
+        loss, (_, probs, _) = loss_fn(
+            params, batch_stats, batch, jax.random.PRNGKey(0), False
+        )
+        auc_state = auc_update(
+            auc_state, batch["label"], probs, batch["weight"], num_thresholds
+        )
+        return (auc_state, loss_sum + loss, n + 1.0), None
+
+    @jax.jit
+    def eval_all(params, batch_stats, block):
+        def dom_body(_, dom_block):
+            init = (auc_init(num_thresholds), jnp.zeros(()), jnp.zeros(()))
+            (auc_state, loss_sum, n), _ = jax.lax.scan(
+                partial(eval_batch, params=params, batch_stats=batch_stats),
+                init, dom_block,
+            )
+            return None, (loss_sum / jnp.maximum(n, 1.0), auc_result(auc_state))
+
+        _, (losses, aucs) = jax.lax.scan(dom_body, None, block)
+        return losses, aucs
+
+    return eval_all
+
+
+def make_fused_eval_merged(
+    loss_fn, mask: Pytree, merged_method: str, num_thresholds: int = 500
+):
+    """Fused eval with per-domain merged weights (MAMDR/SpecificBase
+    semantics, specific_base_model.py:64-97): domain d evaluates
+    load(params, merge(shared, specific[d]))."""
+    from mamdr_tpu.metrics.auc import auc_init, auc_result, auc_update
+
+    merge = partial(ops.merge_weights, mask=mask, method=merged_method)
+
+    @jax.jit
+    def eval_all(params, batch_stats, shared, specific_stack, block):
+        n_domain = jax.tree_util.tree_leaves(block)[0].shape[0]
+
+        def dom_body(_, xs):
+            d, dom_block = xs
+            spec_d = jax.tree_util.tree_map(
+                lambda m, s: s[d] if m else s, mask, specific_stack
+            )
+            p = ops.load_masked(params, merge(shared, spec_d), mask)
+
+            def batch_body(carry, batch):
+                auc_state, loss_sum, n = carry
+                loss, (_, probs, _) = loss_fn(
+                    p, batch_stats, batch, jax.random.PRNGKey(0), False
+                )
+                auc_state = auc_update(
+                    auc_state, batch["label"], probs, batch["weight"], num_thresholds
+                )
+                return (auc_state, loss_sum + loss, n + 1.0), None
+
+            init = (auc_init(num_thresholds), jnp.zeros(()), jnp.zeros(()))
+            (auc_state, loss_sum, n), _ = jax.lax.scan(batch_body, init, dom_block)
+            return None, (loss_sum / jnp.maximum(n, 1.0), auc_result(auc_state))
+
+        _, (losses, aucs) = jax.lax.scan(
+            dom_body, None, (jnp.arange(n_domain), block)
+        )
+        return losses, aucs
+
+    return eval_all
+
+
 def make_fused_passes(train_step, n_steps: int, batch: int):
     """Jitted multi-domain passes over a device-resident [D, N_pad] block."""
 
@@ -98,6 +184,83 @@ def make_fused_passes(train_step, n_steps: int, batch: int):
         return state, losses
 
     return sequential_pass
+
+
+def make_fused_reptile(
+    train_step,
+    mask: Pytree,
+    n_steps: int,
+    batch: int,
+    batch_mode: bool,
+    cap_steps: int = 0,
+):
+    """Reptile epoch as one dispatch (reference reptile.py:44-90):
+    per domain — load meta, capped inner epoch, then either immediate
+    meta interpolation (non-batch) or delta accumulation with one scaled
+    apply at epoch end ("batch")."""
+
+    @jax.jit
+    def reptile_epoch(state: TrainState, meta, block, order, rng, meta_lr):
+        def body(carry, xs):
+            state, meta, acc = carry
+            dom_idx, r = xs
+            state = state.replace(params=ops.load_masked(state.params, meta, mask))
+            flat = {k: v[dom_idx] for k, v in block.items()}
+            state, loss = _epoch_on_flat(
+                train_step, state, flat, r, n_steps, batch, cap_steps=cap_steps
+            )
+            if batch_mode:
+                acc = ops.delta_accumulate(acc, state.params, meta, mask)
+            else:
+                meta = ops.reptile_update(meta, state.params, meta_lr, mask)
+            return (state, meta, acc), loss
+
+        from mamdr_tpu.utils import trees
+
+        acc0 = trees.tree_zeros_like(meta)
+        rngs = jax.random.split(rng, order.shape[0])
+        (state, meta, acc), losses = jax.lax.scan(
+            body, (state, meta, acc0), (order, rngs)
+        )
+        if batch_mode:
+            meta = ops.scaled_add(meta, acc, meta_lr, mask)
+        state = state.replace(params=ops.load_masked(state.params, meta, mask))
+        return state, meta, losses
+
+    return reptile_epoch
+
+
+def make_fused_dn(
+    train_step,
+    mask: Pytree,
+    n_steps: int,
+    batch: int,
+    cap_steps: int = 0,
+):
+    """Domain Negotiation epoch as one dispatch (domain_negotiation.py:49-88):
+    load meta once, chain sequentially through `order` without reset, then
+    meta += (θ_final - meta)*meta_lr."""
+
+    @jax.jit
+    def dn_epoch(state: TrainState, meta, block, order, rng, meta_lr):
+        state = state.replace(params=ops.load_masked(state.params, meta, mask))
+
+        def body(carry, xs):
+            state = carry
+            dom_idx, r = xs
+            flat = {k: v[dom_idx] for k, v in block.items()}
+            state, loss = _epoch_on_flat(
+                train_step, state, flat, r, n_steps, batch, cap_steps=cap_steps
+            )
+            return state, loss
+
+        rngs = jax.random.split(rng, order.shape[0])
+        state, losses = jax.lax.scan(body, state, (order, rngs))
+        meta = ops.reptile_update(meta, state.params, meta_lr, mask)
+        state = state.replace(params=ops.load_masked(state.params, meta, mask))
+        return state, meta, losses
+
+    return dn_epoch
 
 
 def make_fused_mamdr(

@@ -123,6 +123,13 @@ class Trainer:
         self.stopper = EarlyStopper(tc.patience)
         self.best_params = None  # on-device mirror of the best checkpoint
 
+        from mamdr_tpu.train.fused import make_fused_eval
+        from mamdr_tpu.train.steps import make_loss_fn
+
+        self.loss_fn = make_loss_fn(self.model, self.step_cfg)
+        self._fused_eval = make_fused_eval(self.loss_fn, 500)
+        self._train_block = None
+
         ts = time.strftime("%Y%m%d-%H%M%S")
         self.checkpoint_dir = osp.join(
             tc.checkpoint_path, mc.name, config.dataset.name,
@@ -133,6 +140,31 @@ class Trainer:
             tc.result_save_path, mc.name, config.dataset.name,
             config.dataset.domain_split_path,
         )
+
+    # ---------------- fused helpers ----------------
+
+    def train_block(self):
+        """Device-resident [D, N_pad] train block for fused phase execution."""
+        from mamdr_tpu.train import fused as fused_mod
+
+        if self._train_block is None:
+            self._train_block = fused_mod.stack_domains_on_device(
+                self.dataset.train, self.dataset.batch_size
+            )
+        return self._train_block
+
+    def fused_padding_ok(self, max_waste: float = 4.0) -> bool:
+        """Fused passes pad every domain to the largest domain's step count;
+        skip fusion when the long tail would waste >max_waste x compute."""
+        sizes = [s.n for s in self.dataset.train]
+        steps = [-(-n // self.dataset.batch_size) for n in sizes]
+        return max(steps) * len(steps) <= max_waste * sum(steps)
+
+    def train_step_fn(self):
+        from mamdr_tpu.train.steps import make_train_step
+
+        step, _ = make_train_step(self.model, self.tx, self.step_cfg)
+        return step
 
     # ---------------- params ----------------
 
@@ -191,6 +223,18 @@ class Trainer:
             )
         return self._eval_cache[key]
 
+    def eval_block(self, mode: str):
+        """Device-resident [D, S, B] eval block for fused all-domain eval."""
+        from mamdr_tpu.train import fused as fused_mod
+
+        key = (mode, "__block__")
+        if key not in self._eval_cache:
+            splits = {"val": self.dataset.val, "test": self.dataset.test}[mode]
+            self._eval_cache[key] = fused_mod.stack_domains_eval(
+                splits, self.dataset.batch_size
+            )
+        return self._eval_cache[key]
+
     # ---------------- fit / eval ----------------
 
     def fit_domain(
@@ -218,6 +262,7 @@ class Trainer:
         self,
         mode: str,
         params_fn: Optional[Callable[[int], Tuple]] = None,
+        params=None,
     ) -> Tuple[float, float, Dict, Dict]:
         """Per-domain eval -> (macro loss, macro AUC, per-domain dicts).
 
@@ -229,15 +274,26 @@ class Trainer:
         """
         if mode not in ("val", "test"):
             raise ValueError(f"mode must be val or test, not {mode!r}")
-        domain_loss, domain_auc = {}, {}
-        for idx in range(self.dataset.n_domain):
-            if params_fn is not None:
+        if params_fn is None:
+            # fused fast path: all domains in one dispatch
+            losses, aucs = self._fused_eval(
+                params if params is not None else self.state.params,
+                self.state.batch_stats,
+                self.eval_block(mode),
+            )
+            losses, aucs = np.asarray(losses), np.asarray(aucs)
+            domain_loss = {str(i): float(losses[i]) for i in range(len(losses))}
+            domain_auc = {str(i): float(aucs[i]) for i in range(len(aucs))}
+        else:
+            domain_loss, domain_auc = {}, {}
+            for idx in range(self.dataset.n_domain):
                 params, stats = params_fn(idx)
-            else:
-                params, stats = self.state.params, self.state.batch_stats
-            l, a = self.evaluate_domain(mode, idx, params, stats)
-            domain_loss[str(idx)] = l
-            domain_auc[str(idx)] = a
+                l, a = self.evaluate_domain(mode, idx, params, stats)
+                domain_loss[str(idx)] = l
+                domain_auc[str(idx)] = a
+        return self.summarize(mode, domain_loss, domain_auc)
+
+    def summarize(self, mode: str, domain_loss: Dict, domain_auc: Dict):
         avg_loss = sum(domain_loss.values()) / len(domain_loss)
         avg_auc = sum(domain_auc.values()) / len(domain_auc)
         if self.verbose:

@@ -1,0 +1,197 @@
+"""ETL tests: the full Amazon and Taobao build recipes on synthetic raw data,
+checked against the reference's invariants, then loaded back through
+MultiDomainDataset.from_disk."""
+
+import gzip
+import json
+import os.path as osp
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from mamdr_tpu.config import DatasetConfig
+from mamdr_tpu.data.dataset import MultiDomainDataset
+from mamdr_tpu.data.etl import amazon, taobao
+from mamdr_tpu.data.etl.common import (
+    RawId2Id,
+    sample_negatives_for_domain,
+    split_stratified_into_train_val_test,
+)
+
+
+def test_rawid2id_roundtrip(tmp_path):
+    m = RawId2Id()
+    a, b, a2 = m.fit_transform("x"), m.fit_transform("y"), m.fit_transform("x")
+    assert (a, b, a2) == (0, 1, 0) and m.id == 2
+    p = str(tmp_path / "map.json")
+    m.export(p)
+    m2 = RawId2Id(p)
+    assert m2.fit_transform("y") == 1 and m2.fit_transform("z") == 2
+
+
+def test_stratified_split_fractions():
+    df = pd.DataFrame({"label": [1] * 60 + [0] * 140, "x": range(200)})
+    tr, va, te = split_stratified_into_train_val_test(
+        df, frac_train=0.6, frac_val=0.2, frac_test=0.2, random_state=0
+    )
+    assert len(tr) + len(va) + len(te) == 200
+    assert abs(len(tr) - 120) <= 1 and abs(len(va) - 40) <= 1
+    # stratified: positive ratio preserved per split
+    for part in (tr, va, te):
+        assert abs(part["label"].mean() - 0.3) < 0.05
+
+
+def test_negative_sampling_invariants():
+    import random
+
+    df = pd.DataFrame(
+        {
+            "uid": [0, 0, 0, 1, 1],
+            "pid": [0, 1, 2, 3, 4],
+            "domain": 0,
+        }
+    )
+    pid_range = list(range(20))
+    negs = sample_negatives_for_domain(df, pid_range, 0.5, 0, random.Random(0))
+    # user 0 clicked 3 -> 6 negatives, user 1 clicked 2 -> 4 negatives
+    counts = negs.groupby("uid").size().to_dict()
+    assert counts == {0: 6, 1: 4}
+    assert (negs["label"] == 0).all()
+    # no negative collides with that user's clicked items
+    for uid, clicked in [(0, {0, 1, 2}), (1, {3, 4})]:
+        assert not (set(negs[negs.uid == uid]["pid"]) & clicked)
+
+
+def _write_amazon_raw(tmp_path, n_cat=2, n_users=30, n_items=40, n_rows=150):
+    rng = np.random.default_rng(0)
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    cats = [f"Cat {i}" for i in range(n_cat)]
+    for c in cats:
+        rows = []
+        for _ in range(n_rows):
+            rows.append(
+                {
+                    "reviewerID": f"u{rng.integers(0, n_users)}",
+                    "asin": f"{c}-i{rng.integers(0, n_items)}",
+                    "overall": float(rng.integers(1, 6)),
+                }
+            )
+        with gzip.open(raw / (c.replace(" ", "_") + ".json.gz"), "wt") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+    return cats, str(raw)
+
+
+def test_amazon_end_to_end(tmp_path):
+    cats, raw = _write_amazon_raw(tmp_path)
+    split_path = str(tmp_path / "split_by_category")
+    conf = {
+        "categories": cats,
+        "raw_data_path": raw,
+        "split_save_path": split_path,
+        "processed_data_path": "processed_data",
+        "split_policy": "split_by_category",
+        "ctr_ratio": 0.5,
+        "random_range": False,
+        "ctr_ratio_range": [0.2, 0.5],
+        "train_val_test": [0.6, 0.2, 0.2],
+        "seed": 123,
+        "rebuild": False,
+        "cores": 1,
+    }
+    n = amazon.split_to_domains(conf)
+    assert n == 2
+    # reference on-disk layout
+    for i in range(2):
+        for s in ("train", "val", "test"):
+            assert osp.exists(osp.join(split_path, f"domain_{i}", f"{s}.csv"))
+        prop = json.load(open(osp.join(split_path, f"domain_{i}", "domain_property.json")))
+        assert prop["ctr_ratio"] == 0.5
+    assert osp.exists(osp.join(split_path, "processed_data/uid2id.json"))
+
+    # loads back through the runtime data layer
+    ds = MultiDomainDataset.from_disk(
+        DatasetConfig(
+            name="Amazon",
+            dataset_path=str(tmp_path),
+            domain_split_path="split_by_category",
+        )
+    )
+    assert ds.n_domain == 2
+    d0 = ds.train[0]
+    # positives:negatives ~ ctr 0.5 -> about 1/3 positives
+    all_labels = np.concatenate([ds.train[0].label, ds.val[0].label, ds.test[0].label])
+    ratio = all_labels.mean()
+    assert 0.25 < ratio < 0.45, ratio
+    # ids within vocab
+    assert d0.uid.max() < ds.n_uid and d0.pid.max() < ds.n_pid
+    # idempotent rebuild=False: second run keeps files
+    assert amazon.split_to_domains(conf) == 2
+
+
+def test_taobao_end_to_end(tmp_path):
+    rng = np.random.default_rng(1)
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    users = [f"u{i}" for i in range(25)]
+    items = [f"i{i}" for i in range(30)]
+    # only some users/items have embeddings -> the rest get filtered
+    emb_users = users[:20]
+    emb_items = items[:25]
+    pd.DataFrame(
+        {
+            "user_id": [u for u in emb_users],
+            "emb": [" ".join(map(str, rng.normal(size=4).round(3))) for _ in emb_users],
+        }
+    ).set_index("user_id").to_csv(raw / "user_embedding.csv")
+    pd.DataFrame(
+        {
+            "item_id": [i for i in emb_items],
+            "emb": [" ".join(map(str, rng.normal(size=4).round(3))) for _ in emb_items],
+        }
+    ).set_index("item_id").to_csv(raw / "item_embedding.csv")
+    rows = []
+    for _ in range(400):
+        rows.append(
+            {
+                "user_id": users[rng.integers(0, len(users))],
+                "item_id": items[rng.integers(0, len(items))],
+                "theme_id": int(rng.integers(100, 103)),
+            }
+        )
+    pd.DataFrame(rows).to_csv(raw / "theme_click_log.csv", index=False)
+
+    split_path = str(tmp_path / "split_by_theme")
+    conf = {
+        "raw_data_path": str(raw),
+        "split_save_path": split_path,
+        "processed_data_path": "processed_data",
+        "theme_num": 2,
+        "ctr_ratio": 0.5,
+        "random_range": True,
+        "ctr_ratio_range": [0.2, 0.5],
+        "train_val_test": [0.6, 0.2, 0.2],
+        "seed": 123,
+        "rebuild": False,
+    }
+    n = taobao.split_to_domains(conf)
+    assert n == 2
+    # pretrained embedding export keyed by remapped int ids
+    uemb = json.load(open(osp.join(split_path, "processed_data/user_emb.json")))
+    assert len(uemb) > 0
+    assert all(len(v.split()) == 4 for v in uemb.values())
+
+    ds = MultiDomainDataset.from_disk(
+        DatasetConfig(
+            name="Taobao",
+            dataset_path=str(tmp_path),
+            domain_split_path="split_by_theme",
+        )
+    )
+    assert ds.n_domain == 2
+    assert ds.user_emb is not None and ds.user_emb.shape[1] == 4
+    # filtered: every interaction's user has an embedding row
+    prop = json.load(open(osp.join(split_path, "domain_0/domain_property.json")))
+    assert 0.2 <= prop["ctr_ratio"] <= 0.5
