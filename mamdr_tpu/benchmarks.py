@@ -1,0 +1,172 @@
+"""The benchmark config corpus: Amazon-6/13, Taobao-10/20/30.
+
+Programmatic equivalent of the reference's 40 JSON run configs
+(reference config/{Amazon_6,Amazon_13,Taobao-10,Taobao_20,Taobao_30}/*.json;
+schema README.md:98-159). Hyperparameters verified against the shipped
+configs (SURVEY §6): batch 1024, inner Adam 1e-3 (MTL & MLDG 1e-4), meta-lr
+0.1 for Reptile/DN/MAMDR and 1e-3 for MAML/PCGrad, DR sample_num 5 (+query),
+dropout 0.5, hidden [256,128,64] (MTL [512,256,128] + towers [64]), patience
+3, seed 123, epoch bound 99999 (early-stop terminated). Amazon trains its own
+embeddings; Taobao loads frozen pretrained 128-d vectors.
+
+Usage:
+    from mamdr_tpu.benchmarks import benchmark_config, list_configs
+    cfg = benchmark_config("Taobao-10", "mlp_meta_mamdr_finetune")
+    python -m mamdr_tpu.run --benchmark Taobao-10/mlp_meta_mamdr_finetune
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List
+
+from mamdr_tpu.config import ExperimentConfig
+
+BENCHMARK_DATASETS: Dict[str, Dict] = {
+    "Amazon_6": {
+        "name": "Amazon",
+        "dataset_path": "dataset/Amazon",
+        "domain_split_path": "split_by_category_6",
+        "pretrain": False,
+    },
+    "Amazon_13": {
+        "name": "Amazon",
+        "dataset_path": "dataset/Amazon",
+        "domain_split_path": "split_by_category",
+        "pretrain": False,
+    },
+    "Taobao-10": {
+        "name": "Taobao",
+        "dataset_path": "dataset/Taobao",
+        "domain_split_path": "split_by_theme_10",
+        "pretrain": True,
+    },
+    "Taobao_20": {
+        "name": "Taobao",
+        "dataset_path": "dataset/Taobao",
+        "domain_split_path": "split_by_theme_20",
+        "pretrain": True,
+    },
+    "Taobao_30": {
+        "name": "Taobao",
+        "dataset_path": "dataset/Taobao",
+        "domain_split_path": "split_by_theme_30",
+        "pretrain": True,
+    },
+}
+
+# Model-name -> train-block overrides, mirroring the per-config deltas.
+MODEL_VARIANTS: List[str] = [
+    # plain base models (joint)
+    "mlp", "wdl", "nfm", "autoint", "ccpm", "pnn", "deepfm",
+    "mlp_separate", "mlp_finetune",
+    # multi-task
+    "shared_bottom", "mmoe", "ple",
+    # STAR
+    "star",
+    # strategy wrappers on the MLP base
+    "mlp_uncertainty_weight", "mlp_pcgrad",
+    "mlp_meta_maml_finetune", "mlp_meta_mldg_finetune",
+    "mlp_meta_reptile_finetune",
+    "mlp_meta_domain_negotiation_finetune",
+    "mlp_meta_mamdr_finetune",
+    # STAR with the flagship strategy
+    "star_meta_mamdr_finetune",
+]
+
+
+def _train_block(bench: Dict, model_name: str) -> Dict:
+    t: Dict = {
+        "load_pretrain_emb": bench["pretrain"],
+        "emb_trainable": not bench["pretrain"],
+        "epoch": 99999,
+        "learning_rate": 1e-3,
+        "patience": 3,
+        "optimizer": "adam",
+        "loss": "binary_crossentropy",
+    }
+    if any(s in model_name for s in ("shared_bottom", "mmoe", "ple", "mldg")):
+        t["learning_rate"] = 1e-4
+    if "meta" in model_name or "pcgrad" in model_name:
+        if any(s in model_name for s in ("reptile", "domain_negotiation", "mamdr")):
+            t["meta_learning_rate"] = 0.1
+        else:
+            t["meta_learning_rate"] = 1e-3
+        t.update(
+            {
+                "merged_method": "plus",
+                "sample_num": 5,
+                "add_query_domain": True,
+                "finetune_every_epoch": False,
+                "shuffle_sequence": True,
+                "meta_sequence": "random",
+                "target_domain": -1,
+                "domain_regulation_step": 0,
+                "meta_train_step": 0,
+                "meta_finetune_step": 0,
+                "meta_split": "train-train",
+                "meta_split_ratio": 0.8,
+                "average_meta_grad": "none",
+                "meta_parms": ["all"],
+                "val_every_step": 1,
+            }
+        )
+        if "maml" in model_name or "mldg" in model_name:
+            t["meta_split"] = "meta-train/val"
+            t["meta_split_ratio"] = 0.2
+        if model_name.startswith("star") and "mamdr" in model_name:
+            # STAR meta params: embeddings + shared FCN weights only
+            # (config/Taobao-10/star_taobao.json)
+            t["meta_parms"] = ["emb", "kernel_shared", "bias_shared"]
+    return t
+
+
+def _model_block(model_name: str) -> Dict:
+    m: Dict = {
+        "name": model_name,
+        "norm": "none",
+        "dense": "dense",
+        "auxiliary_net": False,
+        "user_dim": 128,
+        "item_dim": 128,
+        "domain_dim": 128,
+        "auxiliary_dim": 128,
+        "hidden_dim": [256, 128, 64],
+        "dropout": 0.5,
+    }
+    if any(s in model_name for s in ("shared_bottom", "mmoe", "ple")):
+        m["hidden_dim"] = [512, 256, 128]
+        m["tower_hidden_dim"] = [64]
+    if "star" in model_name:
+        m["norm"] = "pn"
+        m["dense"] = "star"
+        m["auxiliary_dim"] = 64
+        m.pop("dropout")  # reference Star has no dropout knob (star.py)
+        m["dropout"] = 0.0
+    return m
+
+
+def benchmark_config(bench: str, model_name: str) -> ExperimentConfig:
+    if bench not in BENCHMARK_DATASETS:
+        raise ValueError(
+            f"unknown benchmark {bench!r}; options: {sorted(BENCHMARK_DATASETS)}"
+        )
+    b = BENCHMARK_DATASETS[bench]
+    return ExperimentConfig.from_dict(
+        {
+            "model": _model_block(model_name),
+            "train": _train_block(b, model_name),
+            "dataset": {
+                "name": b["name"],
+                "dataset_path": b["dataset_path"],
+                "domain_split_path": b["domain_split_path"],
+                "batch_size": 1024,
+                "shuffle_buffer_size": 10000,
+                "num_parallel_reads": 8,
+                "seed": 123,
+            },
+        }
+    )
+
+
+def list_configs() -> List[str]:
+    return [f"{b}/{m}" for b in BENCHMARK_DATASETS for m in MODEL_VARIANTS]

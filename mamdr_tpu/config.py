@@ -179,6 +179,17 @@ class TrainConfig:
     specific_init: str = "random"
     # Early stop min-delta for Keras-callback paths (base_model.py:79-82).
     min_delta: float = 1e-4
+    # Restart-safe training (no reference equivalent — SURVEY §5.3 gap):
+    # resume_every > 0 writes an atomic full-state snapshot (params,
+    # optimizer slots, RNGs, early-stop counters, strategy state) every
+    # N epochs; resume=True continues from it.
+    resume: bool = False
+    resume_every: int = 0
+    # Observability (no reference equivalent beyond stdout/TensorBoard):
+    # metrics_jsonl=True writes checkpoint_dir/metrics.jsonl events;
+    # profile_dir != "" wraps each epoch in a jax.profiler trace.
+    metrics_jsonl: bool = True
+    profile_dir: str = ""
 
 
 @dataclass

@@ -40,6 +40,27 @@ def main(config: ExperimentConfig, verbose: bool = True):
 
 if __name__ == "__main__":
     parser = argparse.ArgumentParser()
-    parser.add_argument("--config", type=str, required=True, help="Train config file")
+    parser.add_argument("--config", type=str, help="Train config JSON file")
+    parser.add_argument(
+        "--benchmark",
+        type=str,
+        help="Named benchmark config, e.g. Taobao-10/mlp_meta_mamdr_finetune "
+        "(see mamdr_tpu.benchmarks.list_configs)",
+    )
+    parser.add_argument(
+        "--list-benchmarks", action="store_true", help="List benchmark configs"
+    )
     args = parser.parse_args()
-    main(load_config(args.config))
+    if args.list_benchmarks:
+        from mamdr_tpu.benchmarks import list_configs
+
+        print("\n".join(list_configs()))
+    elif args.benchmark:
+        from mamdr_tpu.benchmarks import benchmark_config
+
+        bench, _, model_name = args.benchmark.partition("/")
+        main(benchmark_config(bench, model_name))
+    elif args.config:
+        main(load_config(args.config))
+    else:
+        parser.error("one of --config / --benchmark / --list-benchmarks required")

@@ -33,7 +33,12 @@ class JointStrategy(Strategy):
             )
 
         sequence = list(range(self.n_domain))
-        for epoch in range(self.tc.epoch):
+        start_epoch = 0
+        resumed = t.try_resume({"best_params": t.state.params})
+        if resumed is not None:
+            start_epoch = resumed[0]
+            t.best_params = resumed[1].get("best_params", t.state.params)
+        for epoch in range(start_epoch, self.tc.epoch):
             if t.verbose:
                 print(f"Epoch: {epoch}", "-" * 30)
             t.np_rng.shuffle(sequence)
@@ -54,6 +59,15 @@ class JointStrategy(Strategy):
                 break
             if t.stopper.improved:
                 t.save_checkpoint()
+            if self.tc.resume_every > 0 and (epoch + 1) % self.tc.resume_every == 0:
+                t.save_resume_state(
+                    epoch,
+                    extra_trees={
+                        "best_params": t.best_params
+                        if t.best_params is not None
+                        else t.state.params
+                    },
+                )
             if t.verbose:
                 # In-training test report uses the best checkpoint, like the
                 # reference's val_and_test("test") reload (base_model.py:121).

@@ -202,7 +202,28 @@ class MAMDRStrategy(MetaStrategy):
 
         t = self.trainer
         self.prepare_fused()
-        for epoch in range(self.tc.epoch):
+        start_epoch = 0
+        templates = {
+            "shared": self.shared,
+            "spec_stack": self._spec_stack,
+            "best_shared": self.best_shared,
+            "best_spec_stack": self._spec_stack,
+        }
+        resumed = t.try_resume(templates)
+        if resumed is not None:
+            start_epoch = resumed[0]
+            ex = resumed[1]
+            self.shared = ex.get("shared", self.shared)
+            self._spec_stack = ex.get("spec_stack", self._spec_stack)
+            self.best_shared = ex.get("best_shared", self.best_shared)
+            if "best_spec_stack" in ex:
+                self.best_specific = fused.unstack_specific(
+                    ex["best_spec_stack"], self.mask, self.n_domain
+                )
+            self.specific = fused.unstack_specific(
+                self._spec_stack, self.mask, self.n_domain
+            )
+        for epoch in range(start_epoch, self.tc.epoch):
             if t.verbose:
                 print(f"Epoch: {epoch}", "-" * 30)
             self.run_fused_epoch()
@@ -211,6 +232,18 @@ class MAMDRStrategy(MetaStrategy):
             )
             if self.epoch_tail(epoch):
                 break
+            if self.tc.resume_every > 0 and (epoch + 1) % self.tc.resume_every == 0:
+                t.save_resume_state(
+                    epoch,
+                    extra_trees={
+                        "shared": self.shared,
+                        "spec_stack": self._spec_stack,
+                        "best_shared": self.best_shared,
+                        "best_spec_stack": fused.stack_specific(
+                            self.best_specific, self.mask
+                        ),
+                    },
+                )
 
     def _train_loop(self) -> None:
         t = self.trainer

@@ -67,6 +67,75 @@ def load_pytree(path: str, template):
     return _unflatten_into(template, flat)
 
 
+def save_train_state(
+    dirpath: str,
+    state,
+    epoch: int,
+    stopper,
+    np_rng,
+    extra_trees: Optional[Dict[str, Any]] = None,
+    extra_meta: Optional[Dict] = None,
+) -> None:
+    """Atomic full-state snapshot: params + optimizer slots + batch stats +
+    PRNG + step + early-stop counters + host RNG — everything needed to
+    resume mid-run (the reference can't: its .h5 holds weights only and
+    MAMDR's decomposition never reaches disk, SURVEY §5.3-5.4)."""
+    os.makedirs(dirpath, exist_ok=True)
+    save_pytree(osp.join(dirpath, "train_state.npz"), {
+        "params": state.params,
+        "opt_state": state.opt_state,
+        "batch_stats": state.batch_stats,
+        "rng": state.rng,
+        "step": state.step,
+    })
+    for name, tree in (extra_trees or {}).items():
+        save_pytree(osp.join(dirpath, f"{name}.npz"), tree)
+    meta = {
+        "epoch": epoch,
+        "stopper": {
+            "patience": stopper.patience,
+            "counter": stopper.counter,
+            "best_metric": stopper.best_metric,
+            "early_stop": stopper.early_stop,
+        },
+        "np_rng_state": np_rng.bit_generator.state,
+        "extra_trees": sorted((extra_trees or {}).keys()),
+    }
+    if extra_meta:
+        meta.update(extra_meta)
+    tmp = osp.join(dirpath, "resume_meta.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, osp.join(dirpath, "resume_meta.json"))
+
+
+def has_train_state(dirpath: str) -> bool:
+    return osp.exists(osp.join(dirpath, "resume_meta.json")) and osp.exists(
+        osp.join(dirpath, "train_state.npz")
+    )
+
+
+def load_train_state(dirpath: str, state_template, extra_templates=None):
+    """-> (state, epoch, stopper_dict, np_rng_state, extra_trees dict)."""
+    with open(osp.join(dirpath, "resume_meta.json")) as f:
+        meta = json.load(f)
+    tmpl = {
+        "params": state_template.params,
+        "opt_state": state_template.opt_state,
+        "batch_stats": state_template.batch_stats,
+        "rng": state_template.rng,
+        "step": state_template.step,
+    }
+    loaded = load_pytree(osp.join(dirpath, "train_state.npz"), tmpl)
+    state = state_template.replace(**loaded)
+    extras = {}
+    for name, template in (extra_templates or {}).items():
+        p = osp.join(dirpath, f"{name}.npz")
+        if osp.exists(p):
+            extras[name] = load_pytree(p, template)
+    return state, meta["epoch"], meta["stopper"], meta["np_rng_state"], extras
+
+
 def save_decomposition(
     dirpath: str,
     shared,

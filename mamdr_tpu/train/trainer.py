@@ -136,10 +136,23 @@ class Trainer:
             config.dataset.domain_split_path, ts,
         )
         self.checkpoint_path = osp.join(self.checkpoint_dir, "model_parameters.npz")
+        # Resume dir is timestamp-free so a restarted process finds it.
+        self.resume_dir = osp.join(
+            tc.checkpoint_path, mc.name, config.dataset.name,
+            config.dataset.domain_split_path, "resume",
+        )
         self.result_dir = osp.join(
             tc.result_save_path, mc.name, config.dataset.name,
             config.dataset.domain_split_path,
         )
+        from mamdr_tpu.utils.logging import MetricsLogger
+
+        self.metrics = MetricsLogger(
+            osp.join(self.checkpoint_dir, "metrics.jsonl")
+            if tc.metrics_jsonl
+            else None
+        )
+        self._eval_epoch_counter = 0
 
     # ---------------- fused helpers ----------------
 
@@ -296,6 +309,11 @@ class Trainer:
     def summarize(self, mode: str, domain_loss: Dict, domain_auc: Dict):
         avg_loss = sum(domain_loss.values()) / len(domain_loss)
         avg_auc = sum(domain_auc.values()) / len(domain_auc)
+        self.metrics.log_eval(
+            mode, self._eval_epoch_counter, avg_loss, avg_auc, domain_auc
+        )
+        if mode == "val":
+            self._eval_epoch_counter += 1
         if self.verbose:
             print(f"Loss: {domain_loss}")
             print("AUC: ")
@@ -317,6 +335,29 @@ class Trainer:
         return num / den
 
     # ---------------- checkpoints / results ----------------
+
+    def save_resume_state(self, epoch: int, extra_trees=None, extra_meta=None) -> None:
+        checkpoints.save_train_state(
+            self.resume_dir, self.state, epoch, self.stopper, self.np_rng,
+            extra_trees, extra_meta,
+        )
+
+    def try_resume(self, extra_templates=None):
+        """Restore full train state; returns (next_epoch, extra_trees) or None."""
+        if not (self.config.train.resume and checkpoints.has_train_state(self.resume_dir)):
+            return None
+        state, epoch, st, np_state, extras = checkpoints.load_train_state(
+            self.resume_dir, self.state, extra_templates
+        )
+        self.state = state
+        self.stopper.patience = st["patience"]
+        self.stopper.counter = st["counter"]
+        self.stopper.best_metric = st["best_metric"]
+        self.stopper.early_stop = st["early_stop"]
+        self.np_rng.bit_generator.state = np_state
+        if self.verbose:
+            print(f"Resumed from {self.resume_dir} at epoch {epoch + 1}")
+        return epoch + 1, extras
 
     def save_checkpoint(self, params=None) -> None:
         params = params if params is not None else self.state.params

@@ -1,0 +1,44 @@
+"""Benchmark config corpus: every named config parses and dispatches."""
+
+import pytest
+
+from mamdr_tpu.benchmarks import MODEL_VARIANTS, benchmark_config, list_configs
+
+
+def test_all_configs_parse():
+    names = list_configs()
+    assert len(names) == 5 * len(MODEL_VARIANTS)
+    for full in names:
+        bench, model = full.split("/")
+        cfg = benchmark_config(bench, model)
+        spec = cfg.spec  # name parses into a valid strategy
+        assert spec.base in (
+            "mlp", "wdl", "nfm", "autoint", "ccpm", "pnn", "deepfm",
+            "shared_bottom", "mmoe", "ple", "star",
+        )
+
+
+def test_reference_hparams():
+    cfg = benchmark_config("Taobao-10", "mlp_meta_mamdr_finetune")
+    assert cfg.train.meta_learning_rate == 0.1
+    assert cfg.train.load_pretrain_emb and not cfg.train.emb_trainable
+    assert cfg.train.sample_num == 5 and cfg.train.add_query_domain
+    assert cfg.dataset.batch_size == 1024 and cfg.dataset.seed == 123
+
+    cfg = benchmark_config("Amazon_6", "mmoe")
+    assert cfg.train.learning_rate == 1e-4
+    assert cfg.model.hidden_dim == [512, 256, 128]
+    assert not cfg.train.load_pretrain_emb and cfg.train.emb_trainable
+
+    cfg = benchmark_config("Taobao-10", "star_meta_mamdr_finetune")
+    assert cfg.train.meta_parms == ["emb", "kernel_shared", "bias_shared"]
+    assert cfg.model.norm == "pn" and cfg.model.dense == "star"
+
+    cfg = benchmark_config("Taobao-10", "mlp_meta_maml_finetune")
+    assert cfg.train.meta_learning_rate == 1e-3
+    assert cfg.train.meta_split == "meta-train/val"
+
+
+def test_unknown_benchmark_raises():
+    with pytest.raises(ValueError):
+        benchmark_config("Criteo", "mlp")
