@@ -57,7 +57,15 @@ class DomainSplit:
 
     @classmethod
     def from_csv(cls, path: str) -> "DomainSplit":
-        # CSV columns: uid,pid,domain,label (reference split.py:20)
+        # CSV columns: uid,pid,domain,label (reference split.py:20).
+        # Fast path: native mmap parser (native/csv_loader.cc via ctypes);
+        # numpy fallback when the toolchain/library is unavailable.
+        from mamdr_tpu.data.native_loader import load_csv_native
+
+        native = load_csv_native(path)
+        if native is not None:
+            uid, pid, domain, label = native
+            return cls(uid=uid, pid=pid, domain=domain, label=label)
         raw = np.genfromtxt(path, delimiter=",", skip_header=1, dtype=np.float64)
         if raw.size == 0:
             raw = np.zeros((0, 4))
