@@ -145,8 +145,16 @@ class MAMDRStrategy(MetaStrategy):
         else:
             self._train_loop()
 
-    def prepare_fused(self) -> None:
-        """Build the device-resident data block and the 2 fused phase fns."""
+    def prepare_fused(self, parallel_compile: bool = False) -> None:
+        """Build the device-resident data block and the 2 fused phase fns.
+
+        parallel_compile AOT-compiles the DN and DR phase graphs on two
+        threads. Off by default: this environment's remote compile service
+        serializes compilations, so threading only adds overhead — flip on
+        for local/backend-parallel compilers.
+        """
+        import numpy as np
+
         from mamdr_tpu.train import fused
         from mamdr_tpu.train.steps import make_train_step
 
@@ -165,6 +173,28 @@ class MAMDRStrategy(MetaStrategy):
             self.tc.domain_regulation_step,
         )
         self._spec_stack = fused.stack_specific(self.specific, self.mask)
+        self._dn_compiled = self._dr_compiled = None
+        if parallel_compile:
+            import concurrent.futures
+
+            seq = self.meta_sequence()
+            order = np.asarray(seq, np.int32)
+            k = min(self.tc.sample_num, len(seq) - 1) + int(self.tc.add_query_domain)
+            aux = np.zeros((len(seq), k), np.int32)
+            rng = jax.random.PRNGKey(0)
+            lr = float(self.tc.meta_learning_rate)
+            dn_low = self._dn_phase.lower(
+                t.state, self.shared, self._block, order, rng, lr
+            )
+            dr_low = self._dr_phase.lower(
+                t.state, self.shared, self._spec_stack, self._block, order, aux,
+                rng, lr,
+            )
+            with concurrent.futures.ThreadPoolExecutor(2) as ex:
+                dn_f = ex.submit(dn_low.compile)
+                dr_f = ex.submit(dr_low.compile)
+                self._dn_compiled = dn_f.result()
+                self._dr_compiled = dr_f.result()
 
     def run_fused_epoch(self) -> None:
         """One DN+DR epoch in exactly 2 device dispatches."""
@@ -186,12 +216,14 @@ class MAMDRStrategy(MetaStrategy):
         aux = np.asarray(aux_rows, np.int32)
 
         t.rng, r1, r2 = jax.random.split(t.rng, 3)
-        t.state, self.shared, _losses = self._dn_phase(
-            t.state, self.shared, self._block, order, r1, self.tc.meta_learning_rate
+        dn = self._dn_compiled or self._dn_phase
+        dr = self._dr_compiled or self._dr_phase
+        lr = float(self.tc.meta_learning_rate)
+        t.state, self.shared, _losses = dn(
+            t.state, self.shared, self._block, order, r1, lr
         )
-        t.state, self._spec_stack = self._dr_phase(
-            t.state, self.shared, self._spec_stack, self._block, order, aux, r2,
-            self.tc.meta_learning_rate,
+        t.state, self._spec_stack = dr(
+            t.state, self.shared, self._spec_stack, self._block, order, aux, r2, lr
         )
 
     def _train_fused(self) -> None:
