@@ -132,11 +132,23 @@ def make_train_step(model, tx: optax.GradientTransformation, cfg: StepConfig):
         )(state.params, state.batch_stats, batch, rng, True)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
+        # All-padding batches (weight sums to 0 — produced when fused blocks
+        # pad short domains to a uniform step count) must be TRUE no-ops:
+        # without this, zero-grad Adam steps would still decay moments and
+        # advance the slot counter, diverging from the reference's per-domain
+        # step counts.
+        has_data = jnp.sum(batch["weight"]) > 0.0
+
+        def keep(new, old):
+            return jax.tree_util.tree_map(
+                lambda n, o: jnp.where(has_data, n, o), new, old
+            )
+
         new_state = state.replace(
-            params=new_params,
-            opt_state=new_opt,
-            batch_stats=new_stats,
-            step=state.step + 1,
+            params=keep(new_params, state.params),
+            opt_state=keep(new_opt, state.opt_state),
+            batch_stats=keep(new_stats, state.batch_stats),
+            step=state.step + jnp.where(has_data, 1, 0).astype(state.step.dtype),
         )
         return new_state, data_loss
 

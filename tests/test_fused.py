@@ -1,0 +1,123 @@
+"""Fused execution: pad-step no-ops, long-tail padding, STAR through the
+fused MAMDR phases."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mamdr_tpu.config import ExperimentConfig
+from mamdr_tpu.data.synthetic import make_synthetic_dataset
+from mamdr_tpu.strategies import build_strategy
+from mamdr_tpu.train.steps import make_train_step
+from mamdr_tpu.train.trainer import Trainer
+
+
+def make_trainer(tmp_path, name="mlp", n_domain=2, **model_overrides):
+    cfg = ExperimentConfig.from_dict(
+        {
+            "model": {"name": name, "user_dim": 8, "item_dim": 8, "domain_dim": 8,
+                       "hidden_dim": [16, 8], "dropout": 0.0, **model_overrides},
+            "train": {"epoch": 2, "learning_rate": 0.01, "patience": 3,
+                       "meta_learning_rate": 0.1, "sample_num": 1,
+                       "metrics_jsonl": False},
+            "dataset": {"name": "synthetic", "batch_size": 64, "seed": 9},
+        }
+    )
+    cfg.train.checkpoint_path = str(tmp_path / "ckpt")
+    cfg.train.result_save_path = str(tmp_path / "result")
+    ds = make_synthetic_dataset(n_domain=n_domain, n_uid=40, n_pid=40,
+                                n_per_domain=400, seed=9, batch_size=64)
+    return Trainer(cfg, ds, verbose=False)
+
+
+def test_all_pad_batch_is_noop(tmp_path):
+    t = make_trainer(tmp_path)
+    step, _ = make_train_step(t.model, t.tx, t.step_cfg)
+    b = 64
+    batch = {
+        "uid": jnp.zeros((b,), jnp.int32),
+        "pid": jnp.zeros((b,), jnp.int32),
+        "domain": jnp.zeros((b,), jnp.int32),
+        "label": jnp.zeros((b,), jnp.float32),
+        "weight": jnp.zeros((b,), jnp.float32),  # all padding
+    }
+    new_state, _ = jax.jit(step)(t.state, batch)
+    for a, c in zip(
+        jax.tree_util.tree_leaves(t.state.params),
+        jax.tree_util.tree_leaves(new_state.params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+    for a, c in zip(
+        jax.tree_util.tree_leaves(t.state.opt_state),
+        jax.tree_util.tree_leaves(new_state.opt_state),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+    assert int(new_state.step) == int(t.state.step)
+
+    # a real batch does advance
+    batch["weight"] = jnp.ones((b,), jnp.float32)
+    batch["label"] = (jnp.arange(b) % 2).astype(jnp.float32)
+    new_state, _ = jax.jit(step)(t.state, batch)
+    assert int(new_state.step) == int(t.state.step) + 1
+
+
+def test_fused_joint_long_tail_matches_domain_count(tmp_path):
+    """Long-tailed domains (different step counts) still train correctly
+    through the padded fused pass."""
+    cfg = ExperimentConfig.from_dict(
+        {
+            "model": {"name": "mlp", "user_dim": 8, "item_dim": 8, "domain_dim": 8,
+                       "hidden_dim": [16, 8], "dropout": 0.0},
+            "train": {"epoch": 3, "learning_rate": 0.02, "patience": 3,
+                       "metrics_jsonl": False},
+            "dataset": {"name": "synthetic", "batch_size": 64, "seed": 4},
+        }
+    )
+    cfg.train.checkpoint_path = str(tmp_path / "c")
+    cfg.train.result_save_path = str(tmp_path / "r")
+    # long_tail=True: domain sizes 1200 / 800 / 533...
+    ds = make_synthetic_dataset(n_domain=3, n_uid=60, n_pid=60, n_per_domain=1200,
+                                seed=4, batch_size=64, long_tail=True)
+    t = Trainer(cfg, ds, verbose=False)
+    assert t.fused_padding_ok()
+    _, avg_auc, _, domain_auc = build_strategy(t).run()
+    assert len(domain_auc) == 3
+    assert avg_auc > 0.5
+
+
+def test_star_mamdr_fused(tmp_path):
+    """STAR (PartitionedNorm batch stats) through the fused MAMDR phases with
+    the reference's STAR meta_parms filter."""
+    t = make_trainer(
+        tmp_path, name="star_meta_mamdr", n_domain=2,
+        norm="pn", dense="star", auxiliary_dim=8,
+    )
+    t.config.train.meta_parms = ["emb", "kernel_shared", "bias_shared"]
+    s = build_strategy(t)
+    assert s.use_fused
+    avg_loss, avg_auc, _, domain_auc = s.run()
+    assert np.isfinite(avg_loss) and len(domain_auc) == 2
+    # PN moving stats were updated during fused training
+    mm = np.asarray(t.state.batch_stats["partitioned_norm"]["moving_mean"])
+    assert np.abs(mm).sum() > 0
+
+
+def test_star_auxiliary_net_forward():
+    from mamdr_tpu.models.zoo import build_model
+
+    cfg = ExperimentConfig.from_dict(
+        {
+            "model": {"name": "star", "norm": "pn", "dense": "star",
+                       "auxiliary_net": True, "auxiliary_dim": 8,
+                       "user_dim": 8, "item_dim": 8, "domain_dim": 8,
+                       "hidden_dim": [16, 8], "dropout": 0.0},
+            "train": {},
+            "dataset": {},
+        }
+    )
+    model = build_model(cfg, n_uid=20, n_pid=20, n_domain=2)
+    rng = jax.random.PRNGKey(0)
+    uid = jnp.arange(8, dtype=jnp.int32)
+    variables = model.init({"params": rng}, uid, uid, jnp.zeros((8,), jnp.int32), train=False)
+    out = model.apply(variables, uid, uid, jnp.zeros((8,), jnp.int32), train=False)
+    assert out.shape == (8,) and np.isfinite(np.asarray(out)).all()
