@@ -203,6 +203,9 @@ class DatasetConfig:
     shuffle_buffer_size: int = 10000
     num_parallel_reads: int = 8
     seed: int = 123
+    # Disable per-epoch train reshuffling (reference utils/dataset.py:78,
+    # used to keep meta-train/val splits stable across epochs).
+    fixed_train: bool = False
     # synthetic-only knobs (used by tests/bench)
     n_domain: int = 3
     n_uid: int = 100

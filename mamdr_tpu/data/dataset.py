@@ -165,6 +165,8 @@ class MultiDomainDataset:
         item_emb: Optional[np.ndarray] = None,
         seed: int = 123,
         batch_size: int = 1024,
+        ctr_ratio: Optional[Dict[int, float]] = None,
+        fixed_train: bool = False,
     ):
         assert len(train) == len(val) == len(test)
         self.train = train
@@ -177,11 +179,14 @@ class MultiDomainDataset:
         self.item_emb = item_emb
         self.seed = seed
         self.batch_size = batch_size
+        self.ctr_ratio = ctr_ratio or {}
+        self.fixed_train = fixed_train
 
     @property
     def dataset_info(self) -> Dict:
-        """Per-domain example counts (reference utils/dataset.py:100-126)."""
-        info: Dict = {}
+        """Per-domain example counts + ctr ratios + totals
+        (reference utils/dataset.py:110-130)."""
+        info: Dict = {"n_user": self.n_uid, "n_item": self.n_pid}
         tot_train = tot_val = tot_test = 0
         for i in range(self.n_domain):
             info[str(i)] = {
@@ -189,10 +194,14 @@ class MultiDomainDataset:
                 "n_val": self.val[i].n,
                 "n_test": self.test[i].n,
             }
+            if i in self.ctr_ratio:
+                info[str(i)]["ctr_ratio"] = self.ctr_ratio[i]
             tot_train += self.train[i].n
             tot_val += self.val[i].n
             tot_test += self.test[i].n
-        info["total"] = {"n_train": tot_train, "n_val": tot_val, "n_test": tot_test}
+        info["total_train"] = tot_train
+        info["total_val"] = tot_val
+        info["total_test"] = tot_test
         return info
 
     def split_counts(self, mode: str) -> List[int]:
@@ -230,14 +239,21 @@ class MultiDomainDataset:
         if not domain_dirs:
             raise FileNotFoundError(f"no domain_* dirs under {root}")
         train, val, test = [], [], []
-        for d in domain_dirs:
+        ctr_ratio = {}
+        for i, d in enumerate(domain_dirs):
             train.append(DomainSplit.from_csv(osp.join(d, "train.csv")))
             val.append(DomainSplit.from_csv(osp.join(d, "val.csv")))
             test.append(DomainSplit.from_csv(osp.join(d, "test.csv")))
+            prop_path = osp.join(d, "domain_property.json")
+            if osp.exists(prop_path):
+                with open(prop_path) as f:
+                    ctr_ratio[i] = json.load(f).get("ctr_ratio")
         return cls(
             train, val, test, n_uid, n_pid,
             user_emb=user_emb, item_emb=item_emb,
             seed=conf.seed, batch_size=conf.batch_size,
+            ctr_ratio=ctr_ratio,
+            fixed_train=getattr(conf, "fixed_train", False),
         )
 
 

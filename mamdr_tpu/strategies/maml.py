@@ -67,7 +67,72 @@ class MAMLStrategy(MetaStrategy):
         )
         return new_meta
 
+    _mldg = False
+
     def train(self) -> None:
+        t = self.trainer
+        if (
+            self.target_domain < 0
+            and self.tc.average_meta_grad != "drop"
+            and t.fused_padding_ok()
+        ):
+            self._train_fused()
+            return
+        self._train_loop()
+
+    def _train_fused(self) -> None:
+        """One dispatch per MAML/MLDG epoch (mamdr_tpu.train.fused).
+
+        Support/query splits are drawn once (mirroring the reference's
+        build-once take/skip split, maml.py:294-341) and live on device;
+        the inner-epoch shuffles happen inside the jit.
+        """
+        import numpy as np
+
+        from mamdr_tpu.data.dataset import split_support_query
+        from mamdr_tpu.train import fused
+
+        t = self.trainer
+        supports, queries = [], []
+        for idx in range(self.n_domain):
+            s, q = split_support_query(
+                t.dataset.train[idx], self.tc.meta_split,
+                self.tc.meta_split_ratio, t.np_rng,
+            )
+            supports.append(s)
+            queries.append(q)
+        sup_block, n_steps_s = fused.stack_domains_on_device(
+            supports, t.dataset.batch_size
+        )
+        if self.tc.meta_split == "train-train":
+            q_block, n_steps_q = sup_block, n_steps_s
+        else:
+            q_block, n_steps_q = fused.stack_domains_on_device(
+                queries, t.dataset.batch_size
+            )
+        epoch_fn = fused.make_fused_maml(
+            t.train_step_fn(), t.loss_fn, self.mask, self.meta_tx,
+            n_steps_s, n_steps_q, t.dataset.batch_size,
+            batch_mode=self.spec.batch_update,
+            cap_steps=self.tc.meta_train_step,
+            accumulate="ema" if self.tc.average_meta_grad == "moving_mean" else "sum",
+            mldg=self._mldg,
+        )
+        meta = t.state.params
+        sequence = self.domain_sequence()
+        for epoch in range(self.tc.epoch):
+            if t.verbose:
+                print(f"Epoch: {epoch}", "-" * 30)
+            t.np_rng.shuffle(sequence)
+            t.rng, sub = jax.random.split(t.rng)
+            t.state, meta, self.meta_opt_state = epoch_fn(
+                t.state, meta, self.meta_opt_state, sup_block, q_block,
+                np.asarray(sequence, np.int32), sub, self.grad_scale(),
+            )
+            if self.epoch_tail(epoch):
+                break
+
+    def _train_loop(self) -> None:
         t = self.trainer
         meta = t.state.params
         sequence = self.domain_sequence()

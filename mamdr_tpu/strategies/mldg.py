@@ -23,7 +23,9 @@ from mamdr_tpu.utils import trees
 
 
 class MLDGStrategy(MAMLStrategy):
-    def train(self) -> None:
+    _mldg = True  # fused path switches to the MLDG inner-loop shape
+
+    def _train_loop(self) -> None:
         t = self.trainer
         meta = t.state.params
         sequence = self.domain_sequence()

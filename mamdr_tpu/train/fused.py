@@ -101,7 +101,10 @@ def make_fused_eval(loss_fn, num_thresholds: int = 500):
         auc_state = auc_update(
             auc_state, batch["label"], probs, batch["weight"], num_thresholds
         )
-        return (auc_state, loss_sum + loss, n + 1.0), None
+        # All-padding batches (domains shorter than the block) must not
+        # dilute the per-batch loss average with zeros.
+        has_data = (jnp.sum(batch["weight"]) > 0.0).astype(jnp.float32)
+        return (auc_state, loss_sum + loss * has_data, n + has_data), None
 
     @jax.jit
     def eval_all(params, batch_stats, block):
@@ -148,7 +151,8 @@ def make_fused_eval_merged(
                 auc_state = auc_update(
                     auc_state, batch["label"], probs, batch["weight"], num_thresholds
                 )
-                return (auc_state, loss_sum + loss, n + 1.0), None
+                has_data = (jnp.sum(batch["weight"]) > 0.0).astype(jnp.float32)
+                return (auc_state, loss_sum + loss * has_data, n + has_data), None
 
             init = (auc_init(num_thresholds), jnp.zeros(()), jnp.zeros(()))
             (auc_state, loss_sum, n), _ = jax.lax.scan(batch_body, init, dom_block)
@@ -184,6 +188,122 @@ def make_fused_passes(train_step, n_steps: int, batch: int):
         return state, losses
 
     return sequential_pass
+
+
+def _grad_epoch_on_flat(
+    loss_fn, params, batch_stats, flat, rng, n_steps: int, batch: int,
+    acc, accumulate: str = "sum", cap_steps: int = 0,
+):
+    """Accumulate grads over a flat block at fixed params (inference mode,
+    matching the reference's learning-phase-0 accumulate function)."""
+    from mamdr_tpu.utils import trees as trees_mod
+
+    n_pad = n_steps * batch
+    perm = jax.random.permutation(rng, n_pad)
+    steps = n_steps if cap_steps <= 0 else min(cap_steps, n_steps)
+    idx = perm[: steps * batch].reshape(steps, batch)
+    batches = {k: jnp.take(v, idx, axis=0) for k, v in flat.items()}
+
+    def step(carry, b):
+        acc, i = carry
+        _, grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, batch_stats, b, jax.random.fold_in(rng, i), False
+        )
+        if accumulate == "ema":
+            acc = jax.tree_util.tree_map(
+                lambda a, g: a * 0.999 + g * 0.001, acc, grads
+            )
+        else:
+            acc = trees_mod.tree_add(acc, grads)
+        return (acc, i + 1), None
+
+    (acc, _), _ = jax.lax.scan(step, (acc, jnp.zeros((), jnp.int32)), batches)
+    return acc
+
+
+def make_fused_maml(
+    train_step,
+    loss_fn,
+    mask: Pytree,
+    meta_tx,
+    n_steps_support: int,
+    n_steps_query: int,
+    batch: int,
+    batch_mode: bool,
+    cap_steps: int = 0,
+    accumulate: str = "sum",
+    mldg: bool = False,
+):
+    """MAML or MLDG epoch as one dispatch.
+
+    MAML (maml.py:60-121): per domain — load meta, inner-Adam adaptation on
+    the support block, accumulate query grads at the adapted weights, then
+    (non-batch) apply the masked meta-Adam at meta and clear; batch defers
+    the apply to epoch end.
+
+    MLDG (mldg.py:92-119): support grads are ACCUMULATED at meta (no inner
+    Adam), mid-stream meta-Adam apply produces the adapted weights (the
+    accumulator is NOT cleared and the meta-Adam moments advance), query
+    grads at the adapted weights join the same accumulator, then
+    restore-and-apply.
+    """
+    from mamdr_tpu.utils import trees as trees_mod
+
+    def masked_scale(grads, scale):
+        return jax.tree_util.tree_map(
+            lambda m, g: g * scale if m else g, mask, grads
+        )
+
+    @jax.jit
+    def maml_epoch(
+        state: TrainState, meta, meta_opt, support_block, query_block,
+        order, rng, grad_scale,
+    ):
+        def apply_meta(target, opt, acc):
+            import optax
+
+            updates, opt = meta_tx.update(masked_scale(acc, grad_scale), opt, target)
+            return optax.apply_updates(target, updates), opt
+
+        def body(carry, xs):
+            state, meta, meta_opt, acc = carry
+            dom_idx, r = xs
+            r_sup, r_q = jax.random.split(r)
+            sup_flat = {k: v[dom_idx] for k, v in support_block.items()}
+            q_flat = {k: v[dom_idx] for k, v in query_block.items()}
+            state = state.replace(params=ops.load_masked(state.params, meta, mask))
+            if mldg:
+                acc = _grad_epoch_on_flat(
+                    loss_fn, state.params, state.batch_stats, sup_flat, r_sup,
+                    n_steps_support, batch, acc, accumulate, cap_steps,
+                )
+                adapted, meta_opt = apply_meta(state.params, meta_opt, acc)
+                state = state.replace(params=adapted)
+            else:
+                state, _ = _epoch_on_flat(
+                    train_step, state, sup_flat, r_sup, n_steps_support, batch,
+                    cap_steps=cap_steps,
+                )
+            acc = _grad_epoch_on_flat(
+                loss_fn, state.params, state.batch_stats, q_flat, r_q,
+                n_steps_query, batch, acc, accumulate, cap_steps,
+            )
+            if not batch_mode:
+                meta, meta_opt = apply_meta(meta, meta_opt, acc)
+                acc = trees_mod.tree_zeros_like(acc)
+            return (state, meta, meta_opt, acc), None
+
+        acc0 = trees_mod.tree_zeros_like(meta)
+        rngs = jax.random.split(rng, order.shape[0])
+        (state, meta, meta_opt, acc), _ = jax.lax.scan(
+            body, (state, meta, meta_opt, acc0), (order, rngs)
+        )
+        if batch_mode:
+            meta, meta_opt = apply_meta(meta, meta_opt, acc)
+        state = state.replace(params=ops.load_masked(state.params, meta, mask))
+        return state, meta, meta_opt
+
+    return maml_epoch
 
 
 def make_fused_reptile(

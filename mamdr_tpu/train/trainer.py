@@ -168,7 +168,11 @@ class Trainer:
 
     def fused_padding_ok(self, max_waste: float = 4.0) -> bool:
         """Fused passes pad every domain to the largest domain's step count;
-        skip fusion when the long tail would waste >max_waste x compute."""
+        skip fusion when the long tail would waste >max_waste x compute.
+        fixed_train also routes to the loop path (fused epochs shuffle
+        in-device; the reference knob demands a stable batch order)."""
+        if getattr(self.dataset, "fixed_train", False):
+            return False
         sizes = [s.n for s in self.dataset.train]
         steps = [-(-n // self.dataset.batch_size) for n in sizes]
         return max(steps) * len(steps) <= max_waste * sum(steps)
@@ -221,7 +225,9 @@ class Trainer:
         (meta_train_step / domain_regulation_step semantics, maml.py:92-99)."""
         split = split if split is not None else self.dataset.train[domain_idx]
         stacked = stack_batches(
-            split, self.dataset.batch_size, shuffle=True, rng=self.np_rng
+            split, self.dataset.batch_size,
+            shuffle=not getattr(self.dataset, "fixed_train", False),
+            rng=self.np_rng,
         )
         if max_steps and max_steps > 0:
             stacked = {k: v[:max_steps] for k, v in stacked.items()}
