@@ -34,7 +34,104 @@ def separate_train_val_test(
     ``params_fn(idx) -> (params, batch_stats)`` overrides the starting weights
     per domain (used by SpecificBase/MAMDR finetune with merged weights,
     specific_base_model.py:99-162).
+
+    Execution: when padding allows, all domains train SIMULTANEOUSLY as a
+    vmapped batch of independent models (one dispatch per epoch — see
+    fused.make_fused_separate, incl. the optimizer-slot compat note);
+    otherwise the sequential per-domain loop below.
     """
+    t = trainer
+    if t.fused_padding_ok():
+        return _separate_fused(t, init_params, params_fn, max_finetune_epochs)
+    return _separate_loop(t, init_params, params_fn, max_finetune_epochs)
+
+
+def _separate_fused(
+    trainer: Trainer,
+    init_params: bool,
+    params_fn,
+    max_finetune_epochs,
+):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mamdr_tpu.train import fused
+    from mamdr_tpu.train.steps import make_train_step
+
+    t = trainer
+    tc = t.config.train
+    d = t.dataset.n_domain
+    tx = t.finetune_tx if not init_params else t.tx
+    train_step, _ = make_train_step(t.model, tx, t.step_cfg)
+    block, n_steps = t.train_block()
+    epoch_all, eval_all, select_best = fused.make_fused_separate(
+        train_step, t.loss_fn, n_steps, t.dataset.batch_size
+    )
+
+    # Per-domain starting params (same start, or params_fn merges).
+    if params_fn is None:
+        base_params = [t.state.params] * d
+        base_stats = [t.state.batch_stats] * d
+    else:
+        pairs = [params_fn(i) for i in range(d)]
+        base_params = [p for p, _ in pairs]
+        base_stats = [s for _, s in pairs]
+    params_stacked = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs), *base_params
+    )
+    stats_stacked = (
+        jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *base_stats)
+        if t.state.batch_stats
+        else {}
+    )
+    t.rng, sub = jax.random.split(t.rng)
+    states = t.state.replace(
+        params=params_stacked,
+        batch_stats=stats_stacked,
+        opt_state=jax.jit(jax.vmap(tx.init))(params_stacked),
+        rng=jax.random.split(sub, d),
+        step=jnp.zeros((d,), jnp.int32),
+    )
+
+    val_block = t.eval_block("val")
+    test_block = t.eval_block("test")
+    best_params = states.params
+    best_stats = states.batch_stats
+    best_auc = np.full(d, -np.inf)
+    counter = np.zeros(d, np.int32)
+    epochs_cap = max_finetune_epochs or tc.epoch
+    min_delta = tc.min_delta
+
+    for _epoch in range(epochs_cap):
+        t.rng, sub = jax.random.split(t.rng)
+        states, _losses = epoch_all(states, block, sub)
+        _, aucs = eval_all(states.params, states.batch_stats, val_block)
+        aucs = np.asarray(aucs)
+        improved = aucs > best_auc + min_delta
+        if improved.any():
+            imp = jnp.asarray(improved)
+            best_params = select_best(best_params, states.params, imp)
+            if t.state.batch_stats:
+                best_stats = select_best(best_stats, states.batch_stats, imp)
+        best_auc = np.where(improved, aucs, best_auc)
+        counter = np.where(improved, 0, counter + 1)
+        if (counter >= tc.patience).all():
+            break
+
+    losses, aucs = eval_all(best_params, best_stats, test_block)
+    losses, aucs = np.asarray(losses), np.asarray(aucs)
+    domain_loss = {str(i): float(losses[i]) for i in range(d)}
+    domain_auc = {str(i): float(aucs[i]) for i in range(d)}
+    return t.summarize("test", domain_loss, domain_auc)
+
+
+def _separate_loop(
+    trainer: Trainer,
+    init_params: bool = True,
+    params_fn: Optional[Callable[[int], Tuple]] = None,
+    max_finetune_epochs: Optional[int] = None,
+):
     t = trainer
     tc = t.config.train
     start_params = t.state.params

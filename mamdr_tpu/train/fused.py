@@ -166,6 +166,81 @@ def make_fused_eval_merged(
     return eval_all
 
 
+def make_fused_separate(train_step, loss_fn, n_steps: int, batch: int,
+                        num_thresholds: int = 500):
+    """Per-domain independent training, vmapped over the domain axis.
+
+    The reference's separate/finetune stage trains one model per domain
+    sequentially (base_model.py:41-109). The models are independent, so the
+    TPU-native form batches them: TrainState stacked [D, ...], one vmapped
+    epoch trains every domain simultaneously (one dispatch per epoch instead
+    of D x epochs), and a vmapped eval scores each domain with its own
+    weights. Per-domain early stopping runs on host over the [D] AUC vector
+    with on-device best-params selection.
+
+    Compat note: for the finetune path (fresh SGD per domain, reference
+    recompiles — specific_base_model.py:118-122) this is exact. For the
+    "separate" strategy the reference leaks Adam slots across its sequential
+    domain loop (only the initial global init resets them); the batched form
+    gives every domain fresh slots — the paper-intent semantics.
+    """
+    from mamdr_tpu.metrics.auc import auc_init, auc_result, auc_update
+
+    @jax.jit
+    def epoch_all(states, block, rng):
+        """states: TrainState with leading [D] axis; block: {col: [D, N_pad]}."""
+        d = jax.tree_util.tree_leaves(block)[0].shape[0]
+        rngs = jax.random.split(rng, d)
+
+        def one(state, flat, r):
+            return _epoch_on_flat(train_step, state, flat, r, n_steps, batch)
+
+        return jax.vmap(one)(states, block, rngs)
+
+    @jax.jit
+    def eval_all(params_stacked, stats_stacked, eval_block):
+        """Per-domain params [D,...] against per-domain eval blocks [D,S,B]."""
+
+        def one(params, stats, dom_block):
+            def batch_body(carry, b):
+                auc_state, loss_sum, n = carry
+                loss, (_, probs, _) = loss_fn(
+                    params, stats, b, jax.random.PRNGKey(0), False
+                )
+                auc_state = auc_update(
+                    auc_state, b["label"], probs, b["weight"], num_thresholds
+                )
+                has = (jnp.sum(b["weight"]) > 0.0).astype(jnp.float32)
+                return (auc_state, loss_sum + loss * has, n + has), None
+
+            init = (auc_init(num_thresholds), jnp.zeros(()), jnp.zeros(()))
+            (auc_state, loss_sum, n), _ = jax.lax.scan(batch_body, init, dom_block)
+            return loss_sum / jnp.maximum(n, 1.0), auc_result(auc_state)
+
+        return jax.vmap(one)(params_stacked, stats_stacked, eval_block)
+
+    @jax.jit
+    def select_best(best, current, improved):
+        """best[d] <- current[d] where improved[d] (on device)."""
+
+        def sel(b, c):
+            mask = improved.reshape((-1,) + (1,) * (b.ndim - 1))
+            return jnp.where(mask, c, b)
+
+        return jax.tree_util.tree_map(sel, best, current)
+
+    return epoch_all, eval_all, select_best
+
+
+def stack_states(state: TrainState, n: int) -> TrainState:
+    """Replicate a TrainState n times along a new leading axis, with
+    distinct per-domain RNG keys."""
+    stacked = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (n,) + x.shape), state
+    )
+    return stacked.replace(rng=jax.random.split(state.rng, n))
+
+
 def make_fused_passes(train_step, n_steps: int, batch: int):
     """Jitted multi-domain passes over a device-resident [D, N_pad] block."""
 

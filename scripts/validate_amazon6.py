@@ -167,7 +167,7 @@ def main():
         "",
         "Full-stack run: ETL-built 6-domain dataset (latent-structured reviews,",
         "per-user negative sampling at seeded ctr ratios, stratified 60/20/20),",
-        "reference benchmark hyperparameters, early stop patience 3, epoch cap "
+        "reference benchmark hyperparameters, early stop patience 10 (synthetic epochs are small), epoch cap "
         f"{EPOCH_CAP}.",
         "",
         "| model | test AUC (macro) | weighted AUC | wall-clock |",
