@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from mamdr_tpu.models.embeddings import EmbeddingBlock
-from mamdr_tpu.models.layers import DNN, Dense, glorot_uniform, glorot_normal
+from mamdr_tpu.models.layers import DNN, Dense, FastDropout, glorot_uniform, glorot_normal
 
 
 class TaskTowers(nn.Module):
@@ -44,7 +44,7 @@ class TaskTowers(nn.Module):
             x = jnp.einsum("tbi,tio->tbo", x, w) + b[:, None, :]
             x = nn.relu(x)
             if self.dropout > 0.0:
-                x = nn.Dropout(self.dropout, deterministic=not train)(x)
+                x = FastDropout(self.dropout)(x, deterministic=not train)
         w = self.param("tower_logit", glorot_normal, (self.n_task, x.shape[-1], 1))
         logits = jnp.einsum("tbi,tio->tbo", x, w)[..., 0]  # [T, B]
         return logits
@@ -112,7 +112,7 @@ class ExpertBank(nn.Module):
             x = jnp.einsum("ebi,eio->ebo", x, w) + b[:, None, :]
             x = nn.relu(x)
             if self.dropout > 0.0:
-                x = nn.Dropout(self.dropout, deterministic=not train)(x)
+                x = FastDropout(self.dropout)(x, deterministic=not train)
         return x  # [E, B, D]
 
 

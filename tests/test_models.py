@@ -214,3 +214,35 @@ def test_pretrained_frozen_embeddings():
     assert np.all(np.asarray(updates["model"]["linear"]["linear_item_emb"]) == 0)
     # trainable: domain table and dnn keep nonzero updates
     assert np.any(np.asarray(updates["model"]["embedding"]["domain_emb"]) != 0)
+
+
+def test_fast_dropout_statistics():
+    """Hash-PRNG dropout: correct keep rate, inverted scaling, determinism,
+    and decorrelation across seeds."""
+    import jax.numpy as jnp
+
+    from mamdr_tpu.ops.fast_random import dropout_mask, hash_uniform
+
+    u = np.asarray(hash_uniform(jnp.uint32(123), (100_000,)))
+    assert 0.0 <= u.min() and u.max() < 1.0
+    assert abs(u.mean() - 0.5) < 0.01
+    assert abs(np.corrcoef(u[:-1], u[1:])[0, 1]) < 0.02  # adjacent decorrelated
+
+    m1 = np.asarray(dropout_mask(jnp.uint32(1), 0.5, (4096, 64)))
+    m2 = np.asarray(dropout_mask(jnp.uint32(1), 0.5, (4096, 64)))
+    m3 = np.asarray(dropout_mask(jnp.uint32(2), 0.5, (4096, 64)))
+    assert np.array_equal(m1, m2)           # deterministic per seed
+    assert not np.array_equal(m1, m3)       # seed changes mask
+    assert abs(m1.mean() - 0.5) < 0.01      # keep rate
+
+    # flax module path: train applies mask+scale, eval is identity
+    from mamdr_tpu.models.layers import FastDropout
+
+    x = jnp.ones((512, 32))
+    mod = FastDropout(0.5)
+    y = mod.apply({}, x, deterministic=False, rngs={"dropout": jax.random.PRNGKey(0)})
+    y = np.asarray(y)
+    assert set(np.unique(y.round(4))) <= {0.0, 2.0}  # inverted scaling
+    assert abs((y > 0).mean() - 0.5) < 0.05
+    y_eval = mod.apply({}, x, deterministic=True)
+    np.testing.assert_array_equal(np.asarray(y_eval), np.asarray(x))
