@@ -37,6 +37,45 @@ class PCGradStrategy(MAMLStrategy):
 
     def train(self) -> None:
         t = self.trainer
+        if self.target_domain < 0 and t.fused_padding_ok():
+            self._train_fused()
+            return
+        self._train_loop()
+
+    def _train_fused(self) -> None:
+        """One dispatch per PCGrad epoch (mamdr_tpu.train.fused)."""
+        import numpy as np
+
+        from mamdr_tpu.train import fused
+
+        t = self.trainer
+        block, n_steps = t.train_block()
+        epoch_fn = fused.make_fused_pcgrad(
+            t.loss_fn, self.mask, self.meta_tx, n_steps, t.dataset.batch_size,
+            cap_steps=self.tc.meta_train_step, mode=self.tc.pcgrad_mode,
+        )
+        sequence = self.domain_sequence()
+        k = min(self.tc.sample_num, len(sequence) - 1)
+        for epoch in range(self.tc.epoch):
+            if t.verbose:
+                print(f"Epoch: {epoch}", "-" * 30)
+            t.np_rng.shuffle(sequence)
+            aux = np.stack(
+                [
+                    t.np_rng.choice([d for d in sequence if d != q], size=k, replace=False)
+                    for q in sequence
+                ]
+            ).astype(np.int32)
+            t.rng, sub = jax.random.split(t.rng)
+            t.state, self.meta_opt_state = epoch_fn(
+                t.state, self.meta_opt_state, block,
+                np.asarray(sequence, np.int32), aux, sub, self.grad_scale(),
+            )
+            if self.epoch_tail(epoch):
+                break
+
+    def _train_loop(self) -> None:
+        t = self.trainer
         sequence = self.domain_sequence()
         mode = self.tc.pcgrad_mode
 

@@ -381,6 +381,70 @@ def make_fused_maml(
     return maml_epoch
 
 
+def make_fused_pcgrad(
+    loss_fn,
+    mask: Pytree,
+    meta_tx,
+    n_steps: int,
+    batch: int,
+    cap_steps: int = 0,
+    mode: str = "reference",
+):
+    """PCGrad epoch as one dispatch (reference pcgrad.py:60-127).
+
+    Per (shuffled) query domain: accumulate the query's grads at the current
+    weights (capped by meta_train_step), then for each sampled aux domain
+    accumulate a FULL-epoch grad and project it — against the RUNNING sum in
+    mode="reference" (the original's in-place aliasing) or against the
+    original query grads in mode="paper" — then apply the sum with the
+    masked meta-Adam. Weights advance between query domains.
+    """
+    import optax
+
+    from mamdr_tpu.utils import trees as trees_mod
+
+    @jax.jit
+    def pcgrad_epoch(state: TrainState, meta_opt, block, order, aux, rng, grad_scale):
+        def q_body(carry, xs):
+            state, meta_opt = carry
+            q, aux_q, r = xs
+            r_q, r_a = jax.random.split(r)
+            zero = trees_mod.tree_zeros_like(state.params)
+            q_flat = {k: v[q] for k, v in block.items()}
+            qg = _grad_epoch_on_flat(
+                loss_fn, state.params, state.batch_stats, q_flat, r_q,
+                n_steps, batch, zero, "sum", cap_steps,
+            )
+
+            def a_body(running, xs2):
+                a_idx, r2 = xs2
+                a_flat = {k: v[a_idx] for k, v in block.items()}
+                ag = _grad_epoch_on_flat(
+                    loss_fn, state.params, state.batch_stats, a_flat, r2,
+                    n_steps, batch, trees_mod.tree_zeros_like(running), "sum", 0,
+                )
+                base = running if mode == "reference" else qg
+                proj = ops.pcgrad_project(base, ag, mode)
+                return trees_mod.tree_add(running, proj), None
+
+            rngs2 = jax.random.split(r_a, aux_q.shape[0])
+            running, _ = jax.lax.scan(a_body, qg, (aux_q, rngs2))
+            grads = jax.tree_util.tree_map(
+                lambda m, g: g * grad_scale if m else g, mask, running
+            )
+            updates, meta_opt = meta_tx.update(grads, meta_opt, state.params)
+            state = state.replace(params=optax.apply_updates(state.params, updates))
+            return (state, meta_opt), None
+
+        rngs = jax.random.split(rng, order.shape[0])
+        (state, meta_opt), _ = jax.lax.scan(
+            q_body, (state, meta_opt), (order, aux, rngs)
+        )
+        return state, meta_opt
+
+    return pcgrad_epoch
+
+
 def make_fused_reptile(
     train_step,
     mask: Pytree,
