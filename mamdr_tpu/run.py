@@ -50,6 +50,10 @@ if __name__ == "__main__":
     parser.add_argument(
         "--list-benchmarks", action="store_true", help="List benchmark configs"
     )
+    parser.add_argument(
+        "--resume", action="store_true",
+        help="Resume from the config's restart-safe snapshot (train.resume)",
+    )
     args = parser.parse_args()
     if args.list_benchmarks:
         from mamdr_tpu.benchmarks import list_configs
@@ -59,8 +63,16 @@ if __name__ == "__main__":
         from mamdr_tpu.benchmarks import benchmark_config
 
         bench, _, model_name = args.benchmark.partition("/")
-        main(benchmark_config(bench, model_name))
+        cfg = benchmark_config(bench, model_name)
+        if args.resume:
+            cfg.train.resume = True
+            cfg.train.resume_every = cfg.train.resume_every or 1
+        main(cfg)
     elif args.config:
-        main(load_config(args.config))
+        cfg = load_config(args.config)
+        if args.resume:
+            cfg.train.resume = True
+            cfg.train.resume_every = cfg.train.resume_every or 1
+        main(cfg)
     else:
         parser.error("one of --config / --benchmark / --list-benchmarks required")

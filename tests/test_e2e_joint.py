@@ -58,3 +58,23 @@ def test_separate_strategy(tmp_path):
     avg_loss, avg_auc, _, domain_auc = build_strategy(t).run()
     assert len(domain_auc) == 2
     assert np.isfinite(avg_loss) and 0.0 <= avg_auc <= 1.0
+
+
+def test_joint_mmoe_and_star(tmp_path):
+    """MTL and STAR bases through the fused joint loop end-to-end."""
+    for name, extra in [
+        ("mmoe", {}),
+        ("star", {"norm": "pn", "dense": "star", "auxiliary_dim": 8}),
+    ]:
+        cfg = small_config(name, **{})
+        cfg.model.norm = extra.get("norm", "none")
+        cfg.model.dense = extra.get("dense", "dense")
+        cfg.model.auxiliary_dim = extra.get("auxiliary_dim", 128)
+        cfg.train.epoch = 2
+        cfg.train.checkpoint_path = str(tmp_path / f"ckpt_{name}")
+        cfg.train.result_save_path = str(tmp_path / f"result_{name}")
+        ds = make_synthetic_dataset(n_domain=2, n_uid=50, n_pid=50,
+                                    n_per_domain=600, seed=13, batch_size=128)
+        t = Trainer(cfg, ds, verbose=False)
+        avg_loss, avg_auc, _, domain_auc = build_strategy(t).run()
+        assert len(domain_auc) == 2 and np.isfinite(avg_loss), name
