@@ -58,7 +58,7 @@ def stack_domains_on_device(
 
 
 def _epoch_on_flat(train_step, state, flat, rng, n_steps: int, batch: int,
-                   cap_steps: int = 0):
+                   cap_steps: int = 0, shuffle: bool = True):
     """One shuffled epoch over a flat [N_pad] block, inside jit.
 
     The shuffle permutes ALL rows (incl. the weight-0 pad tail), so pad rows
@@ -67,7 +67,11 @@ def _epoch_on_flat(train_step, state, flat, rng, n_steps: int, batch: int,
     identical.
     """
     n_pad = n_steps * batch
-    perm = jax.random.permutation(rng, n_pad)
+    if shuffle:
+        perm = jax.random.permutation(rng, n_pad)
+    else:
+        # fixed_train / equivalence testing: natural order, pad tail last
+        perm = jnp.arange(n_pad)
     steps = n_steps if cap_steps <= 0 else min(cap_steps, n_steps)
     idx = perm[: steps * batch].reshape(steps, batch)
     batches = {k: jnp.take(v, idx, axis=0) for k, v in flat.items()}
@@ -495,6 +499,7 @@ def make_fused_dn(
     n_steps: int,
     batch: int,
     cap_steps: int = 0,
+    shuffle: bool = True,
 ):
     """Domain Negotiation epoch as one dispatch (domain_negotiation.py:49-88):
     load meta once, chain sequentially through `order` without reset, then
@@ -509,7 +514,8 @@ def make_fused_dn(
             dom_idx, r = xs
             flat = {k: v[dom_idx] for k, v in block.items()}
             state, loss = _epoch_on_flat(
-                train_step, state, flat, r, n_steps, batch, cap_steps=cap_steps
+                train_step, state, flat, r, n_steps, batch, cap_steps=cap_steps,
+                shuffle=shuffle,
             )
             return state, loss
 
