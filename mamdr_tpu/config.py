@@ -190,6 +190,9 @@ class TrainConfig:
     # profile_dir != "" wraps each epoch in a jax.profiler trace.
     metrics_jsonl: bool = True
     profile_dir: str = ""
+    # Tables with at least this many rows use the row-sharded shard_map
+    # lookup when the Trainer is given a mesh; smaller tables replicate.
+    sharded_lookup_min_rows: int = 16384
 
 
 @dataclass

@@ -15,9 +15,24 @@ indices.
 from __future__ import annotations
 
 import functools
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
+
+# Mesh context for model-integrated sharded lookups. When set (Trainer with a
+# mesh, or set_lookup_mesh directly), tables big enough and divisible by the
+# table axis route through the shard_map masked-gather+psum path
+# (parallel/embedding_shard.py); everything else stays a plain gather. Must
+# be set BEFORE the train/eval jits trace.
+_LOOKUP_MESH: dict = {"mesh": None, "min_rows": 16384}
+
+
+def set_lookup_mesh(mesh, min_rows: int = 16384) -> None:
+    """Route future embedding lookups of large tables through the row-sharded
+    path on `mesh`. Pass mesh=None to restore single-device lookups."""
+    _LOOKUP_MESH["mesh"] = mesh
+    _LOOKUP_MESH["min_rows"] = min_rows
 
 
 def embedding_lookup(table: jax.Array, ids: jax.Array) -> jax.Array:
@@ -26,6 +41,15 @@ def embedding_lookup(table: jax.Array, ids: jax.Array) -> jax.Array:
     mode="clip" matches TF's behavior of clamping out-of-range ids rather than
     producing garbage; in-range ids are the data layer's contract.
     """
+    mesh = _LOOKUP_MESH["mesh"]
+    if mesh is not None and table.ndim == 2:
+        from mamdr_tpu.parallel.mesh import TABLE_AXIS
+
+        tshards = mesh.shape[TABLE_AXIS]
+        if table.shape[0] >= _LOOKUP_MESH["min_rows"] and table.shape[0] % tshards == 0:
+            from mamdr_tpu.parallel.embedding_shard import sharded_lookup
+
+            return sharded_lookup(mesh, table, ids)
     return jnp.take(table, ids, axis=0, indices_are_sorted=False, unique_indices=False, mode="clip")
 
 

@@ -47,6 +47,14 @@ class JointStrategy(Strategy):
                 t.state, losses = sequential_pass(
                     t.state, block, np.asarray(sequence, np.int32), sub
                 )
+                t.metrics.log(
+                    "train_epoch",
+                    epoch=epoch,
+                    domain_loss={
+                        str(sequence[i]): float(l)
+                        for i, l in enumerate(np.asarray(losses))
+                    },
+                )
             else:
                 for idx in sequence:
                     if t.verbose:

@@ -57,20 +57,49 @@ class Trainer:
         config: ExperimentConfig,
         dataset: MultiDomainDataset,
         verbose: bool = True,
+        mesh=None,
     ):
+        """mesh: optional (data, table) jax Mesh. When given, user/item
+        tables are padded to the table-axis size, laid out P(table, None),
+        and every lookup in the model zoo routes through the shard_map
+        masked-gather+psum path (ops.embedding_lookup context — process-wide,
+        so one mesh per process)."""
         self.config = config
         self.dataset = dataset
         self.verbose = verbose
         self.spec = config.spec
+        self.mesh = mesh
         tc, mc = config.train, config.model
+
+        n_uid, n_pid = dataset.n_uid, dataset.n_pid
+        pretrained_user, pretrained_item = dataset.user_emb, dataset.item_emb
+        if mesh is not None:
+            from mamdr_tpu.ops.embedding_lookup import set_lookup_mesh
+            from mamdr_tpu.parallel.embedding_shard import pad_rows
+            from mamdr_tpu.parallel.mesh import TABLE_AXIS
+
+            tshards = mesh.shape[TABLE_AXIS]
+            n_uid = pad_rows(n_uid, tshards)
+            n_pid = pad_rows(n_pid, tshards)
+
+            def pad_table(t, n):
+                if t is None or t.shape[0] == n:
+                    return t
+                out = np.zeros((n, t.shape[1]), t.dtype)
+                out[: t.shape[0]] = t
+                return out
+
+            pretrained_user = pad_table(pretrained_user, n_uid)
+            pretrained_item = pad_table(pretrained_item, n_pid)
+            set_lookup_mesh(mesh, tc.sharded_lookup_min_rows)
 
         self.model = build_model(
             config,
-            n_uid=dataset.n_uid,
-            n_pid=dataset.n_pid,
+            n_uid=n_uid,
+            n_pid=n_pid,
             n_domain=dataset.n_domain,
-            pretrained_user=dataset.user_emb,
-            pretrained_item=dataset.item_emb,
+            pretrained_user=pretrained_user,
+            pretrained_item=pretrained_item,
         )
 
         self.np_rng = np.random.default_rng(dataset.seed)
@@ -105,6 +134,12 @@ class Trainer:
             tc.optimizer, tc.learning_rate, params, tc.emb_trainable
         )
         self.fns: TrainFns = build_train_fns(self.model, self.tx, self.step_cfg)
+        if mesh is not None:
+            # Lay the big tables out row-sharded; optimizer slots inherit the
+            # layout through the jitted init.
+            from mamdr_tpu.parallel.trainer_sharding import param_sharding_specs
+
+            params = jax.device_put(params, param_sharding_specs(params, mesh))
         self.state = TrainState.create(
             params=params,
             opt_state=self.fns.init_opt(params),

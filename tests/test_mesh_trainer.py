@@ -1,0 +1,73 @@
+"""The REAL Trainer on a (data, table) mesh: row-sharded lookups inside the
+actual model zoo, training + fused eval correctness vs the single-device
+path."""
+
+import jax
+import numpy as np
+import pytest
+
+from mamdr_tpu.config import ExperimentConfig
+from mamdr_tpu.data.synthetic import make_synthetic_dataset
+from mamdr_tpu.ops.embedding_lookup import set_lookup_mesh
+from mamdr_tpu.parallel.mesh import make_mesh
+from mamdr_tpu.strategies import build_strategy
+from mamdr_tpu.train.trainer import Trainer
+
+
+@pytest.fixture(autouse=True)
+def reset_lookup_mesh():
+    yield
+    set_lookup_mesh(None)
+
+
+def make(tmp_path, tag, mesh=None, n_uid=64):
+    cfg = ExperimentConfig.from_dict(
+        {
+            "model": {"name": "mlp", "user_dim": 8, "item_dim": 8, "domain_dim": 8,
+                       "hidden_dim": [16, 8], "dropout": 0.0},
+            "train": {"epoch": 2, "learning_rate": 0.01, "patience": 3,
+                       "metrics_jsonl": False},
+            "dataset": {"name": "synthetic", "batch_size": 64, "seed": 31},
+        }
+    )
+    cfg.train.checkpoint_path = str(tmp_path / f"c{tag}")
+    cfg.train.result_save_path = str(tmp_path / f"r{tag}")
+    ds = make_synthetic_dataset(n_domain=2, n_uid=n_uid, n_pid=n_uid,
+                                n_per_domain=500, seed=31, batch_size=64)
+    return Trainer(cfg, ds, verbose=False, mesh=mesh)
+
+
+def test_mesh_trainer_matches_single_device(tmp_path):
+    # single device reference
+    t0 = make(tmp_path, 0)
+    t0.state, loss0 = t0.fit_domain(t0.state, 0)
+    l0, a0 = t0.evaluate_domain("val", 0, t0.state.params, t0.state.batch_stats)
+
+    # mesh: tables sharded over 4-way table axis, lookups via shard_map
+    mesh = make_mesh(jax.devices()[:8], table_parallelism=4)
+    t1 = make(tmp_path, 1, mesh=mesh)
+    set_lookup_mesh(mesh, min_rows=16)  # force the sharded path at test sizes
+    # re-derive fns so the jits trace with the sharded lookup active
+    from mamdr_tpu.train.steps import build_train_fns, make_loss_fn
+    from mamdr_tpu.train.fused import make_fused_eval
+
+    t1.fns = build_train_fns(t1.model, t1.tx, t1.step_cfg)
+    t1.loss_fn = make_loss_fn(t1.model, t1.step_cfg)
+    t1._fused_eval = make_fused_eval(t1.loss_fn, 500)
+
+    t1.state, loss1 = t1.fit_domain(t1.state, 0)
+    l1, a1 = t1.evaluate_domain("val", 0, t1.state.params, t1.state.batch_stats)
+
+    assert abs(loss0 - loss1) < 1e-4
+    assert abs(l0 - l1) < 1e-4 and abs(a0 - a1) < 1e-4
+    # table really is sharded across devices
+    table = t1.state.params["model"]["embedding"]["user_emb"]
+    assert len(table.sharding.device_set) == 8
+
+
+def test_mesh_trainer_full_strategy_run(tmp_path):
+    mesh = make_mesh(jax.devices()[:8], table_parallelism=2)
+    set_lookup_mesh(mesh, min_rows=16)
+    t = make(tmp_path, 2, mesh=mesh)
+    avg_loss, avg_auc, _, domain_auc = build_strategy(t).run()
+    assert len(domain_auc) == 2 and np.isfinite(avg_loss)

@@ -66,3 +66,22 @@ def test_dryrun_multichip_entry():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_multihost_data_feed():
+    """Process-local batch assembly into globally sharded arrays (single
+    process degenerates to a sharded device_put — same code path as
+    multi-host)."""
+    from mamdr_tpu.parallel.data_feed import process_local_rows, shard_host_batch
+
+    mesh = make_mesh(jax.devices()[:8], table_parallelism=1)
+    rows = process_local_rows(64)
+    assert rows == slice(0, 64)  # single process loads everything
+    host_batch = {
+        "uid": np.arange(64, dtype=np.int32),
+        "label": np.ones(64, np.float32),
+    }
+    global_batch = shard_host_batch(mesh, host_batch)
+    assert global_batch["uid"].shape == (64,)
+    assert len(global_batch["uid"].sharding.device_set) == 8
+    np.testing.assert_array_equal(np.asarray(global_batch["uid"]), host_batch["uid"])
