@@ -201,16 +201,27 @@ class Trainer:
             )
         return self._train_block
 
-    def fused_padding_ok(self, max_waste: float = 4.0) -> bool:
-        """Fused passes pad every domain to the largest domain's step count;
-        skip fusion when the long tail would waste >max_waste x compute.
-        fixed_train also routes to the loop path (fused epochs shuffle
-        in-device; the reference knob demands a stable batch order)."""
+    def fused_padding_ok(
+        self, max_waste_ratio: float = 4.0, steps_per_dispatch: float = 250.0
+    ) -> bool:
+        """Fused passes pad every domain to the largest domain's step count.
+
+        Cost model: a padded (no-op) step costs ~100-150us of wasted compute
+        while each dispatch the fusion saves costs ~30ms on a tunneled /
+        production TPU — so padding pays for itself up to ~250 wasted steps
+        per saved dispatch. Fuse when EITHER the waste ratio is small or the
+        absolute waste stays under that break-even. fixed_train routes to the
+        loop path (fused epochs shuffle in-device; the reference knob demands
+        a stable batch order)."""
         if getattr(self.dataset, "fixed_train", False):
             return False
         sizes = [s.n for s in self.dataset.train]
         steps = [-(-n // self.dataset.batch_size) for n in sizes]
-        return max(steps) * len(steps) <= max_waste * sum(steps)
+        d = len(steps)
+        total_padded = max(steps) * d
+        if total_padded <= max_waste_ratio * sum(steps):
+            return True
+        return (total_padded - sum(steps)) <= steps_per_dispatch * d
 
     def train_step_fn(self):
         from mamdr_tpu.train.steps import make_train_step
