@@ -149,6 +149,13 @@ def _write_header(domain_save_path: str) -> None:
 
 
 def _append_split(domain_save_path: str, df: pd.DataFrame, conf: dict) -> None:
+    # Frames too small to three-way split (a user with a near-exhausted
+    # negative pool can contribute 1-2 rows; sklearn would raise on an empty
+    # train side — the reference crashes here) go entirely to train.
+    if len(df) < 3:
+        with open(osp.join(domain_save_path, "train.csv"), "a", newline="") as f:
+            csv.writer(f).writerows(df[HEADER].values.tolist())
+        return
     tr, va, te = split_stratified_into_train_val_test(
         df,
         stratify_colname="label",

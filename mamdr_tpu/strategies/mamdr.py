@@ -65,11 +65,13 @@ class MAMDRStrategy(MetaStrategy):
         self.best_shared = self.shared
         self.best_specific = list(self.specific)
         # The fused path (whole DN / DR phase per dispatch) covers the shipped
-        # DN+DR recipe; exotic variants fall back to the per-call loop.
+        # DN+DR recipe; exotic variants fall back to the per-call loop, as do
+        # fixed_train and pathological padding (same gate as every strategy).
         self.use_fused = (
             not self.spec.batch_update
             and not self.tc.finetune_every_epoch
             and self.target_domain < 0
+            and trainer.fused_padding_ok()
         )
 
     # ---------------- eval plumbing ----------------
@@ -160,9 +162,8 @@ class MAMDRStrategy(MetaStrategy):
 
         t = self.trainer
         train_step, _ = make_train_step(t.model, t.tx, t.step_cfg)
-        self._block, n_steps = fused.stack_domains_on_device(
-            t.dataset.train, t.dataset.batch_size
-        )
+        # reuse the trainer's cached block (the finetune stage shares it)
+        self._block, n_steps = t.train_block()
         self._fused_steps_per_domain = n_steps
         self._dn_phase, self._dr_phase = fused.make_fused_mamdr(
             train_step,

@@ -137,6 +137,10 @@ class MAMLStrategy(MetaStrategy):
         meta = t.state.params
         sequence = self.domain_sequence()
         batch_mode = self.spec.batch_update
+        # Splits are drawn ONCE before training (reference
+        # build_meta_data_split, maml.py:294-341) — same protocol as the
+        # fused path; per-epoch redraws would leak query rows into support.
+        splits = {idx: self.support_query(idx) for idx in sequence}
 
         acc = trees.tree_zeros_like(meta)
         for epoch in range(self.tc.epoch):
@@ -144,7 +148,7 @@ class MAMLStrategy(MetaStrategy):
                 print(f"Epoch: {epoch}", "-" * 30)
             t.np_rng.shuffle(sequence)
             for idx in sequence:
-                support, query = self.support_query(idx)
+                support, query = splits[idx]
                 # inner adaptation from meta, model's own Adam
                 t.state = t.state.replace(
                     params=self.load_meta(t.state.params, meta)

@@ -31,13 +31,15 @@ class MLDGStrategy(MAMLStrategy):
         sequence = self.domain_sequence()
         batch_mode = self.spec.batch_update
 
+        # build-once splits (reference build_meta_data_split semantics)
+        splits = {idx: self.support_query(idx) for idx in sequence}
         acc = trees.tree_zeros_like(meta)
         for epoch in range(self.tc.epoch):
             if t.verbose:
                 print(f"Epoch: {epoch}", "-" * 30)
             t.np_rng.shuffle(sequence)
             for idx in sequence:
-                support, query = self.support_query(idx)
+                support, query = splits[idx]
                 # support grads at meta θ (accumulate-only inner pass)
                 t.state = t.state.replace(
                     params=self.load_meta(t.state.params, meta)

@@ -49,7 +49,18 @@ class PCGradStrategy(MAMLStrategy):
         from mamdr_tpu.train import fused
 
         t = self.trainer
-        block, n_steps = t.train_block()
+        # Both query and aux grads come from the meta-split's support set
+        # (reference pcgrad.py uses meta_data_split train_iters for both);
+        # train-train makes that the full train set.
+        if self.tc.meta_split == "train-train":
+            block, n_steps = t.train_block()
+        else:
+            supports = [
+                self.support_query(i)[0] for i in range(self.n_domain)
+            ]
+            block, n_steps = fused.stack_domains_on_device(
+                supports, t.dataset.batch_size
+            )
         epoch_fn = fused.make_fused_pcgrad(
             t.loss_fn, self.mask, self.meta_tx, n_steps, t.dataset.batch_size,
             cap_steps=self.tc.meta_train_step, mode=self.tc.pcgrad_mode,
@@ -78,13 +89,15 @@ class PCGradStrategy(MAMLStrategy):
         t = self.trainer
         sequence = self.domain_sequence()
         mode = self.tc.pcgrad_mode
+        # build-once splits (reference build_meta_data_split semantics)
+        splits = {idx: self.support_query(idx)[0] for idx in sequence}
 
         for epoch in range(self.tc.epoch):
             if t.verbose:
                 print(f"Epoch: {epoch}", "-" * 30)
             t.np_rng.shuffle(sequence)
             for idx in sequence:
-                support, _ = self.support_query(idx)
+                support = splits[idx]
                 zero = trees.tree_zeros_like(t.state.params)
                 query_grads = self.accumulate_split(
                     t.state.params, t.state.batch_stats, support, zero, cap=True
@@ -102,7 +115,7 @@ class PCGradStrategy(MAMLStrategy):
                     aux_grads = self.accumulate_split(
                         t.state.params,
                         t.state.batch_stats,
-                        t.dataset.train[int(aux_idx)],
+                        splits[int(aux_idx)],  # aux's support split, like query
                         trees.tree_zeros_like(t.state.params),
                         cap=False,  # aux epochs are uncapped (pcgrad.py:116-120)
                     )

@@ -75,6 +75,7 @@ def save_train_state(
     np_rng,
     extra_trees: Optional[Dict[str, Any]] = None,
     extra_meta: Optional[Dict] = None,
+    host_rng=None,
 ) -> None:
     """Atomic full-state snapshot: params + optimizer slots + batch stats +
     PRNG + step + early-stop counters + host RNG — everything needed to
@@ -87,6 +88,7 @@ def save_train_state(
         "batch_stats": state.batch_stats,
         "rng": state.rng,
         "step": state.step,
+        "host_rng": host_rng if host_rng is not None else state.rng,
     })
     for name, tree in (extra_trees or {}).items():
         save_pytree(osp.join(dirpath, f"{name}.npz"), tree)
@@ -116,7 +118,11 @@ def has_train_state(dirpath: str) -> bool:
 
 
 def load_train_state(dirpath: str, state_template, extra_templates=None):
-    """-> (state, epoch, stopper_dict, np_rng_state, extra_trees dict)."""
+    """-> (state, epoch, stopper_dict, np_rng_state, extras dict).
+
+    The host PRNG key (Trainer.rng, split every fused epoch) rides along as
+    extras['host_rng'] so a resumed run continues the key stream instead of
+    replaying epoch-0 shuffles."""
     with open(osp.join(dirpath, "resume_meta.json")) as f:
         meta = json.load(f)
     tmpl = {
@@ -125,10 +131,12 @@ def load_train_state(dirpath: str, state_template, extra_templates=None):
         "batch_stats": state_template.batch_stats,
         "rng": state_template.rng,
         "step": state_template.step,
+        "host_rng": state_template.rng,
     }
     loaded = load_pytree(osp.join(dirpath, "train_state.npz"), tmpl)
+    host_rng = loaded.pop("host_rng")
     state = state_template.replace(**loaded)
-    extras = {}
+    extras = {"host_rng": host_rng}
     for name, template in (extra_templates or {}).items():
         p = osp.join(dirpath, f"{name}.npz")
         if osp.exists(p):

@@ -6,7 +6,8 @@ not FLOPs — bounds throughput. This module removes it:
 
   - all domain data lives ON DEVICE once, padded to a uniform
     [n_domain, n_steps*batch] block (weight-0 tail rows);
-  - epoch shuffling happens inside jit (jax.random.permutation + gather);
+  - epoch shuffling happens inside jit (random-key argsort that keeps the
+    pad tail last + gather);
   - a sequential multi-domain pass (the DN phase / joint loop) is ONE call:
     lax.scan over domains, inner lax.scan over steps;
   - the entire MAMDR DR phase (every query domain x sampled support runs,
@@ -61,14 +62,21 @@ def _epoch_on_flat(train_step, state, flat, rng, n_steps: int, batch: int,
                    cap_steps: int = 0, shuffle: bool = True):
     """One shuffled epoch over a flat [N_pad] block, inside jit.
 
-    The shuffle permutes ALL rows (incl. the weight-0 pad tail), so pad rows
-    scatter across batches instead of forming a trailing partial batch —
-    loss/grad-equivalent to the reference's tf.data reshuffle, batch count
-    identical.
+    The shuffle permutes only the REAL rows and keeps the weight-0 pad tail
+    LAST (sort by random-key + pad-penalty): the domain then trains exactly
+    ceil(n_d/B) effective steps — one trailing partial batch, the rest of the
+    pad forming all-zero-weight batches that train_step no-ops — matching the
+    reference's per-domain step counts even when the block is padded to a
+    much larger domain. (Scattering pad rows across batches instead would
+    hand short domains extra full-magnitude Adam steps, since weighted_bce
+    renormalises by the batch's real-row count.)
     """
     n_pad = n_steps * batch
     if shuffle:
-        perm = jax.random.permutation(rng, n_pad)
+        sort_key = jax.random.uniform(rng, (n_pad,)) + jnp.where(
+            flat["weight"] > 0.0, 0.0, 2.0
+        )
+        perm = jnp.argsort(sort_key)
     else:
         # fixed_train / equivalence testing: natural order, pad tail last
         perm = jnp.arange(n_pad)
@@ -90,14 +98,16 @@ def stack_domains_eval(
     }
 
 
-def make_fused_eval(loss_fn, num_thresholds: int = 500):
-    """One dispatch evaluating EVERY domain: scan domains, inner scan batches
-    accumulating the 500-threshold confusion counts. Returns ([D] losses,
-    [D] aucs). Replaces the reference's per-domain model.evaluate loop
-    (base_model.py:130-136)."""
-    from mamdr_tpu.metrics.auc import auc_init, auc_result, auc_update
+def _make_eval_step(loss_fn, num_thresholds: int):
+    """Shared per-batch eval body: weighted loss (all-pad batches excluded
+    from the average) + 500-threshold confusion-count accumulation. Single
+    source of truth for every fused eval variant."""
+    from mamdr_tpu.metrics.auc import auc_init, auc_update
 
-    def eval_batch(carry, batch, params, batch_stats):
+    def init():
+        return (auc_init(num_thresholds), jnp.zeros(()), jnp.zeros(()))
+
+    def step(carry, batch, params, batch_stats):
         auc_state, loss_sum, n = carry
         loss, (_, probs, _) = loss_fn(
             params, batch_stats, batch, jax.random.PRNGKey(0), False
@@ -105,19 +115,28 @@ def make_fused_eval(loss_fn, num_thresholds: int = 500):
         auc_state = auc_update(
             auc_state, batch["label"], probs, batch["weight"], num_thresholds
         )
-        # All-padding batches (domains shorter than the block) must not
-        # dilute the per-batch loss average with zeros.
         has_data = (jnp.sum(batch["weight"]) > 0.0).astype(jnp.float32)
-        return (auc_state, loss_sum + loss * has_data, n + has_data), None
+        return (auc_state, loss_sum + loss * has_data, n + has_data)
+
+    return init, step
+
+
+def make_fused_eval(loss_fn, num_thresholds: int = 500):
+    """One dispatch evaluating EVERY domain: scan domains, inner scan batches
+    accumulating the 500-threshold confusion counts. Returns ([D] losses,
+    [D] aucs). Replaces the reference's per-domain model.evaluate loop
+    (base_model.py:130-136)."""
+    from mamdr_tpu.metrics.auc import auc_result
+
+    init, eval_step = _make_eval_step(loss_fn, num_thresholds)
 
     @jax.jit
     def eval_all(params, batch_stats, block):
         def dom_body(_, dom_block):
-            init = (auc_init(num_thresholds), jnp.zeros(()), jnp.zeros(()))
-            (auc_state, loss_sum, n), _ = jax.lax.scan(
-                partial(eval_batch, params=params, batch_stats=batch_stats),
-                init, dom_block,
-            )
+            def body(carry, b):
+                return eval_step(carry, b, params, batch_stats), None
+
+            (auc_state, loss_sum, n), _ = jax.lax.scan(body, init(), dom_block)
             return None, (loss_sum / jnp.maximum(n, 1.0), auc_result(auc_state))
 
         _, (losses, aucs) = jax.lax.scan(dom_body, None, block)
@@ -132,9 +151,10 @@ def make_fused_eval_merged(
     """Fused eval with per-domain merged weights (MAMDR/SpecificBase
     semantics, specific_base_model.py:64-97): domain d evaluates
     load(params, merge(shared, specific[d]))."""
-    from mamdr_tpu.metrics.auc import auc_init, auc_result, auc_update
+    from mamdr_tpu.metrics.auc import auc_result
 
     merge = partial(ops.merge_weights, mask=mask, method=merged_method)
+    init, eval_step = _make_eval_step(loss_fn, num_thresholds)
 
     @jax.jit
     def eval_all(params, batch_stats, shared, specific_stack, block):
@@ -147,19 +167,10 @@ def make_fused_eval_merged(
             )
             p = ops.load_masked(params, merge(shared, spec_d), mask)
 
-            def batch_body(carry, batch):
-                auc_state, loss_sum, n = carry
-                loss, (_, probs, _) = loss_fn(
-                    p, batch_stats, batch, jax.random.PRNGKey(0), False
-                )
-                auc_state = auc_update(
-                    auc_state, batch["label"], probs, batch["weight"], num_thresholds
-                )
-                has_data = (jnp.sum(batch["weight"]) > 0.0).astype(jnp.float32)
-                return (auc_state, loss_sum + loss * has_data, n + has_data), None
+            def body(carry, b):
+                return eval_step(carry, b, p, batch_stats), None
 
-            init = (auc_init(num_thresholds), jnp.zeros(()), jnp.zeros(()))
-            (auc_state, loss_sum, n), _ = jax.lax.scan(batch_body, init, dom_block)
+            (auc_state, loss_sum, n), _ = jax.lax.scan(body, init(), dom_block)
             return None, (loss_sum / jnp.maximum(n, 1.0), auc_result(auc_state))
 
         _, (losses, aucs) = jax.lax.scan(
@@ -188,7 +199,9 @@ def make_fused_separate(train_step, loss_fn, n_steps: int, batch: int,
     domain loop (only the initial global init resets them); the batched form
     gives every domain fresh slots — the paper-intent semantics.
     """
-    from mamdr_tpu.metrics.auc import auc_init, auc_result, auc_update
+    from mamdr_tpu.metrics.auc import auc_result
+
+    init, eval_step = _make_eval_step(loss_fn, num_thresholds)
 
     @jax.jit
     def epoch_all(states, block, rng):
@@ -206,19 +219,10 @@ def make_fused_separate(train_step, loss_fn, n_steps: int, batch: int,
         """Per-domain params [D,...] against per-domain eval blocks [D,S,B]."""
 
         def one(params, stats, dom_block):
-            def batch_body(carry, b):
-                auc_state, loss_sum, n = carry
-                loss, (_, probs, _) = loss_fn(
-                    params, stats, b, jax.random.PRNGKey(0), False
-                )
-                auc_state = auc_update(
-                    auc_state, b["label"], probs, b["weight"], num_thresholds
-                )
-                has = (jnp.sum(b["weight"]) > 0.0).astype(jnp.float32)
-                return (auc_state, loss_sum + loss * has, n + has), None
+            def body(carry, b):
+                return eval_step(carry, b, params, stats), None
 
-            init = (auc_init(num_thresholds), jnp.zeros(()), jnp.zeros(()))
-            (auc_state, loss_sum, n), _ = jax.lax.scan(batch_body, init, dom_block)
+            (auc_state, loss_sum, n), _ = jax.lax.scan(body, init(), dom_block)
             return loss_sum / jnp.maximum(n, 1.0), auc_result(auc_state)
 
         return jax.vmap(one)(params_stacked, stats_stacked, eval_block)

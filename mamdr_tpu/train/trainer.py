@@ -391,7 +391,7 @@ class Trainer:
     def save_resume_state(self, epoch: int, extra_trees=None, extra_meta=None) -> None:
         checkpoints.save_train_state(
             self.resume_dir, self.state, epoch, self.stopper, self.np_rng,
-            extra_trees, extra_meta,
+            extra_trees, extra_meta, host_rng=self.rng,
         )
 
     def try_resume(self, extra_templates=None):
@@ -402,6 +402,7 @@ class Trainer:
             self.resume_dir, self.state, extra_templates
         )
         self.state = state
+        self.rng = jnp.asarray(extras.pop("host_rng"))
         self.stopper.patience = st["patience"]
         self.stopper.counter = st["counter"]
         self.stopper.best_metric = st["best_metric"]
@@ -439,7 +440,11 @@ class Trainer:
                 },
                 f,
             )
+        # The reference's save_result runs after test's best-checkpoint reload
+        # (base_model.py:121), so the artifact holds the BEST weights — the
+        # ones that produced the recorded metrics — not the last-epoch state.
         checkpoints.save_pytree(
-            osp.join(result_path, "model_parameters.npz"), self.state.params
+            osp.join(result_path, "model_parameters.npz"),
+            self.best_params if self.best_params is not None else self.state.params,
         )
         return result_path

@@ -121,3 +121,34 @@ def test_star_auxiliary_net_forward():
     variables = model.init({"params": rng}, uid, uid, jnp.zeros((8,), jnp.int32), train=False)
     out = model.apply(variables, uid, uid, jnp.zeros((8,), jnp.int32), train=False)
     assert out.shape == (8,) and np.isfinite(np.asarray(out)).all()
+
+
+def test_fused_step_counts_match_reference(tmp_path):
+    """Long-tailed fused training must take exactly ceil(n_d/B) optimizer
+    steps per domain per epoch — padded steps are no-ops because the in-jit
+    shuffle keeps the pad tail last."""
+    cfg = ExperimentConfig.from_dict(
+        {
+            "model": {"name": "mlp", "user_dim": 8, "item_dim": 8, "domain_dim": 8,
+                       "hidden_dim": [16, 8], "dropout": 0.0},
+            "train": {"epoch": 1, "learning_rate": 0.01, "metrics_jsonl": False},
+            "dataset": {"name": "synthetic", "batch_size": 64, "seed": 6},
+        }
+    )
+    cfg.train.checkpoint_path = str(tmp_path / "c")
+    cfg.train.result_save_path = str(tmp_path / "r")
+    ds = make_synthetic_dataset(n_domain=3, n_uid=50, n_pid=50, n_per_domain=2000,
+                                seed=6, batch_size=64, long_tail=True)
+    t = Trainer(cfg, ds, verbose=False)
+    from mamdr_tpu.train import fused
+
+    block, n_steps = t.train_block()
+    seq_pass = fused.make_fused_passes(t.train_step_fn(), n_steps, 64)
+    expected = sum(-(-s.n // 64) for s in ds.train)
+    step0 = int(t.state.step)
+    t.state, _ = seq_pass(
+        t.state, block, np.asarray([0, 1, 2], np.int32), jax.random.PRNGKey(0)
+    )
+    assert int(t.state.step) - step0 == expected, (
+        f"took {int(t.state.step) - step0} steps, reference takes {expected}"
+    )
