@@ -227,6 +227,13 @@ def split_domains(
                     },
                     f,
                 )
+        # NOTE: reference-faithful quirks kept deliberately: (1) the on-disk
+        # shuffle re-runs on EVERY invocation, even for skipped domains
+        # (reference split.py:148-149 sits outside the rebuild branch), so a
+        # second "no-op" run re-permutes the csvs; (2) with random_range, the
+        # ctr-ratio RNG draw happens only inside the rebuild branch, so
+        # partial rebuilds consume a different RNG position than full builds
+        # — exactly as the reference's global `random` stream does.
         for name in ("train.csv", "val.csv", "test.csv"):
             shuffle_csv_file(osp.join(domain_save_path, name), conf["seed"])
         n_domain += 1
