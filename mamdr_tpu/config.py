@@ -193,6 +193,10 @@ class TrainConfig:
     # Tables with at least this many rows use the row-sharded shard_map
     # lookup when the Trainer is given a mesh; smaller tables replicate.
     sharded_lookup_min_rows: int = 16384
+    # Flat-vector Adam (one fused update kernel instead of one per leaf;
+    # bit-exact to optax.adam, ~11% faster fused epochs on v5e — see
+    # train/flat_optimizer.py).
+    flat_optimizer: bool = True
 
 
 @dataclass

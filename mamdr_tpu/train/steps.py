@@ -245,14 +245,29 @@ def make_optimizer(
     learning_rate: float,
     params,
     emb_trainable: bool = True,
+    flat: bool = False,
 ) -> optax.GradientTransformation:
     """Inner optimizer factory (TF1 AdamOptimizer defaults: b1=.9 b2=.999 eps=1e-8).
 
     When ``emb_trainable`` is false, user/item tables (incl. the dim-1 linear
     tables, matching deepctr's trainable flag propagation) get zero updates —
     the functional equivalent of Keras ``trainable=False``.
+
+    flat=True (adam only) uses the flat-vector Adam (train/flat_optimizer.py)
+    — bit-exact, one fused update kernel instead of one per leaf.
     """
+
+    def frozen(name_: str, x) -> bool:
+        return (not emb_trainable) and ("user_emb" in name_ or "item_emb" in name_)
+
+    frozen_mask = trees.named_tree_map(frozen, params)
+    trainable_mask = jax.tree_util.tree_map(lambda b: not b, frozen_mask)
+
     if name == "adam":
+        if flat:
+            from mamdr_tpu.train.flat_optimizer import flat_adam
+
+            return flat_adam(learning_rate, trainable_mask)
         base = optax.adam(learning_rate, b1=0.9, b2=0.999, eps=1e-8)
     elif name == "sgd":
         base = optax.sgd(learning_rate)
@@ -260,12 +275,6 @@ def make_optimizer(
         raise ValueError(f"unknown optimizer {name!r}")
     if emb_trainable:
         return base
-
-    def frozen(name_: str, x) -> bool:
-        return "user_emb" in name_ or "item_emb" in name_
-
-    frozen_mask = trees.named_tree_map(frozen, params)
-    trainable_mask = jax.tree_util.tree_map(lambda b: not b, frozen_mask)
     # Frozen tables: zero updates AND no optimizer slots — masked(adam) keeps
     # moments only for trainable leaves, so a frozen 100k x 128 Taobao table
     # costs zero HBM traffic per step (its dead grad/update work is DCE'd

@@ -131,7 +131,8 @@ class Trainer:
             ),
         )
         self.tx = make_optimizer(
-            tc.optimizer, tc.learning_rate, params, tc.emb_trainable
+            tc.optimizer, tc.learning_rate, params, tc.emb_trainable,
+            flat=tc.flat_optimizer,
         )
         self.fns: TrainFns = build_train_fns(self.model, self.tx, self.step_cfg)
         if mesh is not None:

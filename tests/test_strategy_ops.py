@@ -137,3 +137,37 @@ def test_ema_accumulate():
     g = {"w": jnp.full((2,), 3.0, jnp.float32)}
     out = ops.ema_accumulate(acc, g, {"w": True})
     np.testing.assert_allclose(np.asarray(out["w"]), 1.0 * 0.999 + 3.0 * 0.001, rtol=1e-6)
+
+
+def test_flat_adam_bit_exact_vs_optax():
+    """flat_optimizer.flat_adam must match optax.adam exactly on trainable
+    leaves and leave frozen leaves untouched with no slot state."""
+    import optax
+
+    from mamdr_tpu.train.flat_optimizer import flat_adam
+
+    rng = np.random.default_rng(3)
+    params = {
+        "a": jnp.asarray(rng.normal(size=(16, 8)), jnp.float32),
+        "b": {"w": jnp.asarray(rng.normal(size=(8,)), jnp.float32),
+               "user_emb": jnp.asarray(rng.normal(size=(32, 4)), jnp.float32)},
+    }
+    mask = {"a": True, "b": {"w": True, "user_emb": False}}
+    ref, fl = optax.adam(1e-3), flat_adam(1e-3, mask)
+    sr, sf = ref.init(params), fl.init(params)
+    pr, pf = params, params
+    for _ in range(4):
+        grads = jax.tree_util.tree_map(
+            lambda x: jnp.asarray(rng.normal(size=x.shape), jnp.float32), params
+        )
+        ur, sr = ref.update(grads, sr, pr)
+        pr = optax.apply_updates(pr, ur)
+        uf, sf = fl.update(grads, sf, pf)
+        pf = optax.apply_updates(pf, uf)
+    np.testing.assert_allclose(np.asarray(pr["a"]), np.asarray(pf["a"]), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(pr["b"]["w"]), np.asarray(pf["b"]["w"]), rtol=1e-6)
+    np.testing.assert_array_equal(
+        np.asarray(pf["b"]["user_emb"]), np.asarray(params["b"]["user_emb"])
+    )
+    # slot state covers only the trainable element count
+    assert sf.mu.size == 16 * 8 + 8
