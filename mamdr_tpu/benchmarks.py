@@ -110,9 +110,14 @@ def _train_block(bench: Dict, model_name: str) -> Dict:
                 "val_every_step": 1,
             }
         )
+        # meta-train/val exclusive splits for MAML/MLDG; ratio and meta-lr
+        # differ per config (deepctr_maml_taobao_10.json: ratio 0.2, meta-lr
+        # 1e-3; deepctr_mldg_taobao_10.json: ratio 0.8, meta-lr 1e-4).
         if "maml" in model_name or "mldg" in model_name:
             t["meta_split"] = "meta-train/val"
-            t["meta_split_ratio"] = 0.2
+            t["meta_split_ratio"] = 0.2 if "maml" in model_name else 0.8
+        if "mldg" in model_name:
+            t["meta_learning_rate"] = 1e-4
         if model_name.startswith("star") and "mamdr" in model_name:
             # STAR meta params: embeddings + shared FCN weights only
             # (config/Taobao-10/star_taobao.json)

@@ -34,9 +34,12 @@ import numpy as np
 from mamdr_tpu.ops.embedding_lookup import embedding_lookup
 from mamdr_tpu.models.layers import Dense, glorot_uniform
 
-# Keras layers.Embedding default init: uniform(-0.05, 0.05) (star.py:115-126
-# uses plain layers.Embedding, unlike deepctr's RandomNormal(1e-4)).
-keras_embedding_init = nn.initializers.uniform(scale=0.05)
+# Keras layers.Embedding default init: RandomUniform(-0.05, 0.05)
+# (star.py:115-126 uses plain layers.Embedding, unlike deepctr's
+# RandomNormal(1e-4)). Symmetric — nn.initializers.uniform samples [0, scale)
+# which would shift the distribution all-positive at half the spread.
+def keras_embedding_init(key, shape, dtype=jnp.float32):
+    return jax.random.uniform(key, shape, dtype, minval=-0.05, maxval=0.05)
 
 
 class StarFCN(nn.Module):

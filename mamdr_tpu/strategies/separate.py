@@ -108,7 +108,11 @@ def _separate_fused(
         states, _losses = epoch_all(states, block, sub)
         _, aucs = eval_all(states.params, states.batch_stats, val_block)
         aucs = np.asarray(aucs)
-        improved = aucs > best_auc + min_delta
+        # A domain that has exhausted its patience is FROZEN (the reference's
+        # per-domain Keras EarlyStopping ends that domain's fit permanently,
+        # base_model.py:79-82); without this gate a stopped domain would keep
+        # training under the vmap and could overwrite its best params later.
+        improved = (aucs > best_auc + min_delta) & (counter < tc.patience)
         if improved.any():
             imp = jnp.asarray(improved)
             best_params = select_best(best_params, states.params, imp)

@@ -275,14 +275,29 @@ def make_fused_passes(train_step, n_steps: int, batch: int):
 
 def _grad_epoch_on_flat(
     loss_fn, params, batch_stats, flat, rng, n_steps: int, batch: int,
-    acc, accumulate: str = "sum", cap_steps: int = 0,
+    acc, accumulate: str = "sum", cap_steps: int = 0, shuffle: bool = True,
 ):
     """Accumulate grads over a flat block at fixed params (inference mode,
-    matching the reference's learning-phase-0 accumulate function)."""
+    matching the reference's learning-phase-0 accumulate function).
+
+    The shuffle keeps the weight-0 pad tail LAST (same sort-key trick as
+    _epoch_on_flat) and all-pad batches are skipped entirely: the accumulated
+    meta-grad is then exactly the sum of the domain's real ceil(n/B) per-batch
+    weighted means, matching the loop path and the reference's accumulate
+    semantics (maml.py:196-234 accumulates over real train_step batches only).
+    Scattering pad rows instead would inflate short padded domains' grads by
+    the padding ratio, and all-pad batches would still leak l2-embedding (and
+    uncertainty log-var) gradients into the accumulator."""
     from mamdr_tpu.utils import trees as trees_mod
 
     n_pad = n_steps * batch
-    perm = jax.random.permutation(rng, n_pad)
+    if shuffle:
+        sort_key = jax.random.uniform(rng, (n_pad,)) + jnp.where(
+            flat["weight"] > 0.0, 0.0, 2.0
+        )
+        perm = jnp.argsort(sort_key)
+    else:
+        perm = jnp.arange(n_pad)
     steps = n_steps if cap_steps <= 0 else min(cap_steps, n_steps)
     idx = perm[: steps * batch].reshape(steps, batch)
     batches = {k: jnp.take(v, idx, axis=0) for k, v in flat.items()}
@@ -293,11 +308,15 @@ def _grad_epoch_on_flat(
             params, batch_stats, b, jax.random.fold_in(rng, i), False
         )
         if accumulate == "ema":
-            acc = jax.tree_util.tree_map(
+            new_acc = jax.tree_util.tree_map(
                 lambda a, g: a * 0.999 + g * 0.001, acc, grads
             )
         else:
-            acc = trees_mod.tree_add(acc, grads)
+            new_acc = trees_mod.tree_add(acc, grads)
+        has_data = jnp.sum(b["weight"]) > 0.0
+        acc = jax.tree_util.tree_map(
+            lambda n, o: jnp.where(has_data, n, o), new_acc, acc
+        )
         return (acc, i + 1), None
 
     (acc, _), _ = jax.lax.scan(step, (acc, jnp.zeros((), jnp.int32)), batches)
