@@ -335,6 +335,7 @@ def make_fused_maml(
     cap_steps: int = 0,
     accumulate: str = "sum",
     mldg: bool = False,
+    shuffle: bool = True,
 ):
     """MAML or MLDG epoch as one dispatch.
 
@@ -377,18 +378,18 @@ def make_fused_maml(
             if mldg:
                 acc = _grad_epoch_on_flat(
                     loss_fn, state.params, state.batch_stats, sup_flat, r_sup,
-                    n_steps_support, batch, acc, accumulate, cap_steps,
+                    n_steps_support, batch, acc, accumulate, cap_steps, shuffle,
                 )
                 adapted, meta_opt = apply_meta(state.params, meta_opt, acc)
                 state = state.replace(params=adapted)
             else:
                 state, _ = _epoch_on_flat(
                     train_step, state, sup_flat, r_sup, n_steps_support, batch,
-                    cap_steps=cap_steps,
+                    cap_steps=cap_steps, shuffle=shuffle,
                 )
             acc = _grad_epoch_on_flat(
                 loss_fn, state.params, state.batch_stats, q_flat, r_q,
-                n_steps_query, batch, acc, accumulate, cap_steps,
+                n_steps_query, batch, acc, accumulate, cap_steps, shuffle,
             )
             if not batch_mode:
                 meta, meta_opt = apply_meta(meta, meta_opt, acc)
@@ -416,6 +417,7 @@ def make_fused_pcgrad(
     batch: int,
     cap_steps: int = 0,
     mode: str = "reference",
+    shuffle: bool = True,
 ):
     """PCGrad epoch as one dispatch (reference pcgrad.py:60-127).
 
@@ -440,7 +442,7 @@ def make_fused_pcgrad(
             q_flat = {k: v[q] for k, v in block.items()}
             qg = _grad_epoch_on_flat(
                 loss_fn, state.params, state.batch_stats, q_flat, r_q,
-                n_steps, batch, zero, "sum", cap_steps,
+                n_steps, batch, zero, "sum", cap_steps, shuffle,
             )
 
             def a_body(running, xs2):
@@ -449,6 +451,7 @@ def make_fused_pcgrad(
                 ag = _grad_epoch_on_flat(
                     loss_fn, state.params, state.batch_stats, a_flat, r2,
                     n_steps, batch, trees_mod.tree_zeros_like(running), "sum", 0,
+                    shuffle,
                 )
                 base = running if mode == "reference" else qg
                 proj = ops.pcgrad_project(base, ag, mode)
@@ -479,6 +482,7 @@ def make_fused_reptile(
     batch: int,
     batch_mode: bool,
     cap_steps: int = 0,
+    shuffle: bool = True,
 ):
     """Reptile epoch as one dispatch (reference reptile.py:44-90):
     per domain — load meta, capped inner epoch, then either immediate
@@ -493,7 +497,8 @@ def make_fused_reptile(
             state = state.replace(params=ops.load_masked(state.params, meta, mask))
             flat = {k: v[dom_idx] for k, v in block.items()}
             state, loss = _epoch_on_flat(
-                train_step, state, flat, r, n_steps, batch, cap_steps=cap_steps
+                train_step, state, flat, r, n_steps, batch, cap_steps=cap_steps,
+                shuffle=shuffle,
             )
             if batch_mode:
                 acc = ops.delta_accumulate(acc, state.params, meta, mask)
@@ -558,6 +563,7 @@ def make_fused_mamdr(
     n_steps: int,
     batch: int,
     domain_regulation_step: int = 0,
+    shuffle: bool = True,
 ):
     """The full MAMDR epoch as two jitted calls (DN + DR).
 
@@ -583,7 +589,9 @@ def make_fused_mamdr(
             state = carry
             dom_idx, r = xs
             flat = {k: v[dom_idx] for k, v in block.items()}
-            state, loss = _epoch_on_flat(train_step, state, flat, r, n_steps, batch)
+            state, loss = _epoch_on_flat(
+                train_step, state, flat, r, n_steps, batch, shuffle=shuffle
+            )
             return state, loss
 
         rngs = jax.random.split(rng, order.shape[0])
@@ -617,11 +625,12 @@ def make_fused_mamdr(
                 sup_flat = {k: v[s_idx] for k, v in block.items()}
                 r_sup, r_q = jax.random.split(r2)
                 state, _ = _epoch_on_flat(
-                    train_step, state, sup_flat, r_sup, n_steps, batch
+                    train_step, state, sup_flat, r_sup, n_steps, batch,
+                    shuffle=shuffle,
                 )
                 state, _ = _epoch_on_flat(
                     train_step, state, query_flat, r_q, n_steps, batch,
-                    cap_steps=domain_regulation_step,
+                    cap_steps=domain_regulation_step, shuffle=shuffle,
                 )
                 spec_q = jax.tree_util.tree_map(
                     lambda m, sp, a, mg: sp + (a - mg) * meta_lr if m else sp,
