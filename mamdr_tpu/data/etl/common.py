@@ -142,6 +142,158 @@ def sample_negatives_for_domain(
     return pd.concat(frames, ignore_index=True)
 
 
+def _complement_map(clicked_uid_ord, clicked_dense, n_users, pool_size):
+    """Precompute the per-user complement mapping state.
+
+    For user u with sorted clicked dense positions s_0<...<s_{c-1} in
+    [0, pool_size), the k-th element of the complement (pool minus clicked,
+    ascending) is k + |{i : s_i - i <= k}| — one searchsorted over the
+    user-offset adjusted positions answers that count for every (u, k) draw
+    at once. Inputs must be sorted by (uid_ord, dense)."""
+    counts = np.bincount(clicked_uid_ord, minlength=n_users)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    within = np.arange(clicked_uid_ord.shape[0]) - starts[clicked_uid_ord]
+    adj = clicked_dense - within
+    comb_adj = clicked_uid_ord.astype(np.int64) * (pool_size + 1) + adj
+    return comb_adj, starts, counts
+
+
+def _map_complement(draw_uid_ord, draw_k, comb_adj, starts, pool_size):
+    """(user, complement-index) -> dense pool position, vectorised."""
+    keys = draw_uid_ord.astype(np.int64) * (pool_size + 1) + draw_k
+    cnt = np.searchsorted(comb_adj, keys, side="right") - starts[draw_uid_ord]
+    return draw_k + cnt
+
+
+def sample_negatives_vectorized(
+    df: pd.DataFrame,
+    pid_range: Sequence[int],
+    ctr_ratio: float,
+    domain: int,
+    np_rng: np.random.Generator,
+) -> pd.DataFrame:
+    """Scale-proof per-user negative sampling: same recipe as
+    sample_negatives_for_domain (reference split.py:46-70) — each user gets
+    floor(n_clicked/ctr_ratio) items drawn WITHOUT replacement from the
+    domain pool minus their clicked items (the whole complement when the
+    quota exceeds it) — but in flat numpy passes: one searchsorted maps
+    complement indices to pool positions for every user at once, and
+    without-replacement is realised by iterated dedup-and-redraw (unique
+    values of iid uniforms ARE a without-replacement sample). No per-user
+    DataFrame, no per-user python scan: an Amazon-13-scale domain
+    (~1M users) samples in seconds instead of hours.
+    """
+    pool = np.unique(np.asarray(list(pid_range), dtype=np.int64))
+    p_size = pool.shape[0]
+
+    pairs = df[["uid", "pid"]].drop_duplicates()
+    uids = pairs["uid"].to_numpy()
+    uniq_uids, uid_ord = np.unique(uids, return_inverse=True)
+    n_users = uniq_uids.shape[0]
+    dense = np.searchsorted(pool, pairs["pid"].to_numpy().astype(np.int64))
+    order = np.lexsort((dense, uid_ord))
+    uid_ord_s, dense_s = uid_ord[order], dense[order]
+    comb_adj, starts, clicked_counts = _complement_map(
+        uid_ord_s, dense_s, n_users, p_size
+    )
+
+    quota = (clicked_counts / ctr_ratio).astype(np.int64)
+    comp_size = p_size - clicked_counts
+    quota = np.minimum(quota, comp_size)
+
+    # Dense users (quota a large fraction of the complement — rare in CTR
+    # data) enumerate their complement exactly; the rest reject-sample.
+    enum_users = np.nonzero((quota > 0) & (quota * 5 >= comp_size * 4))[0]
+    samp_users = np.nonzero((quota > 0) & (quota * 5 < comp_size * 4))[0]
+
+    out_uid_ord, out_dense = [], []
+
+    if enum_users.size:
+        ks = np.concatenate([np.arange(comp_size[u]) for u in enum_users])
+        us = np.repeat(enum_users, comp_size[enum_users])
+        mapped = _map_complement(us, ks, comb_adj, starts, p_size)
+        # choose quota[u] of the complement per user via random-key sort
+        keys = np_rng.random(mapped.shape[0])
+        o = np.lexsort((keys, us))
+        us, mapped = us[o], mapped[o]
+        cstarts = np.concatenate(
+            [[0], np.cumsum(comp_size[enum_users])[:-1]]
+        )
+        pos_in_user = np.arange(us.shape[0]) - np.repeat(cstarts, comp_size[enum_users])
+        keep = pos_in_user < np.repeat(quota[enum_users], comp_size[enum_users])
+        out_uid_ord.append(us[keep])
+        out_dense.append(mapped[keep])
+
+    if samp_users.size:
+        chosen_keys = np.empty(0, np.int64)
+        deficit = quota[samp_users].copy()
+        for _ in range(200):
+            short = deficit > 0
+            if not short.any():
+                break
+            us_short = samp_users[short]
+            draws_per = deficit[short]
+            us = np.repeat(us_short, draws_per)
+            k_max = comp_size[us]
+            ks = np.floor(np_rng.random(us.shape[0]) * k_max).astype(np.int64)
+            mapped = _map_complement(us, ks, comb_adj, starts, p_size)
+            new_keys = us.astype(np.int64) * p_size + mapped
+            chosen_keys = np.unique(np.concatenate([chosen_keys, new_keys]))
+            have = np.bincount(
+                (chosen_keys // p_size), minlength=n_users
+            )[samp_users]
+            deficit = quota[samp_users] - have
+        out_uid_ord.append((chosen_keys // p_size).astype(np.int64))
+        out_dense.append(chosen_keys % p_size)
+
+    if not out_uid_ord:
+        return pd.DataFrame(columns=HEADER)
+    u = np.concatenate(out_uid_ord)
+    d = np.concatenate(out_dense)
+    return pd.DataFrame(
+        {
+            "uid": uniq_uids[u],
+            "pid": pool[d],
+            "domain": domain,
+            "label": 0,
+        }
+    )
+
+
+def assign_user_splits(
+    uid: np.ndarray,
+    fracs: Sequence[float],
+    np_rng: np.random.Generator,
+) -> np.ndarray:
+    """Vectorised per-user train/val/test assignment (0/1/2).
+
+    Reproduces the per-user-frame split arithmetic the reference applies to
+    each user's negatives (split.py:129-137 appends + tool.py two-stage
+    train_test_split): with m rows, n_temp = ceil(m*(1-f_train)) rows leave
+    train, of which n_test = ceil(n_temp * f_test/(f_val+f_test)) go to
+    test; frames with m < 3 go entirely to train (the _append_split guard).
+    Which rows land where is a uniform per-user permutation in both paths.
+    """
+    f_train, f_val, f_test = fracs
+    n = uid.shape[0]
+    uniq, ord_ = np.unique(uid, return_inverse=True)
+    m = np.bincount(ord_)
+    keys = np_rng.random(n)
+    o = np.lexsort((keys, ord_))
+    starts = np.concatenate([[0], np.cumsum(m)[:-1]])
+    pos = np.empty(n, np.int64)
+    pos[o] = np.arange(n) - starts[ord_[o]]
+    m_row = m[ord_]
+    n_temp = np.ceil(m_row * (1.0 - f_train)).astype(np.int64)
+    n_tr = m_row - n_temp
+    n_te = np.ceil(n_temp * (f_test / (f_val + f_test))).astype(np.int64)
+    out = np.full(n, 2, np.int8)
+    out[pos < n_tr + (n_temp - n_te)] = 1
+    out[pos < n_tr] = 0
+    out[m_row < 3] = 0
+    return out
+
+
 def _write_header(domain_save_path: str) -> None:
     for name in ("train.csv", "val.csv", "test.csv"):
         with open(osp.join(domain_save_path, name), "w", newline="") as f:
@@ -179,10 +331,16 @@ def split_domains(
     (by theme) — reference split.py:93-152 / Taobao split.py:94-152.
 
     Per processed file: positives (whole-df stratified split) + per-user
-    negatives (each user's frame split separately, mirroring the reference's
+    negatives (each user's rows split separately, mirroring the reference's
     incremental appends), property json, seeded on-disk shuffle.
+
+    Negative sampling runs the vectorised flat-numpy path by default
+    (sample_negatives_vectorized + assign_user_splits — required for
+    Amazon-13-scale builds); conf["legacy_negatives"]=True selects the
+    original per-user loop (same distribution, different RNG stream).
     """
     rng = random.Random(conf["seed"])
+    np_rng = np.random.default_rng(conf["seed"])
     n_domain = 0
     for p in processed_file_list:
         domain_name = osp.splitext(osp.split(p)[1])[0]
@@ -209,12 +367,27 @@ def split_domains(
             positive_df["label"] = 1
             _append_split(domain_save_path, positive_df, conf)
 
-            negatives = sample_negatives_for_domain(
-                df, pid_range, ctr_ratio, n_domain, rng
-            )
-            # split per user to mirror the reference's per-user appends
-            for _, user_neg in negatives.groupby("uid"):
-                _append_split(domain_save_path, user_neg, conf)
+            if conf.get("legacy_negatives", False):
+                negatives = sample_negatives_for_domain(
+                    df, pid_range, ctr_ratio, n_domain, rng
+                )
+                # split per user to mirror the reference's per-user appends
+                for _, user_neg in negatives.groupby("uid"):
+                    _append_split(domain_save_path, user_neg, conf)
+            else:
+                negatives = sample_negatives_vectorized(
+                    df, pid_range, ctr_ratio, n_domain, np_rng
+                )
+                assign = assign_user_splits(
+                    negatives["uid"].to_numpy(), conf["train_val_test"], np_rng
+                )
+                for code, name in ((0, "train.csv"), (1, "val.csv"), (2, "test.csv")):
+                    part = negatives[assign == code]
+                    if len(part):
+                        part[HEADER].to_csv(
+                            osp.join(domain_save_path, name),
+                            mode="a", header=False, index=False,
+                        )
 
             with open(osp.join(domain_save_path, "domain_property.json"), "w") as f:
                 json.dump(

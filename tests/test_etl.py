@@ -195,3 +195,75 @@ def test_taobao_end_to_end(tmp_path):
     # filtered: every interaction's user has an embedding row
     prop = json.load(open(osp.join(split_path, "domain_0/domain_property.json")))
     assert 0.2 <= prop["ctr_ratio"] <= 0.5
+
+
+def test_vectorized_negatives_match_loop_distribution():
+    """The vectorized sampler obeys the exact per-user recipe invariants of
+    the loop path (counts, disjointness, pool membership) and matches its
+    item-popularity distribution."""
+    import random
+
+    from mamdr_tpu.data.etl.common import sample_negatives_vectorized
+
+    rng = np.random.default_rng(3)
+    n_users, n_items, n_rows = 200, 150, 2000
+    df = pd.DataFrame(
+        {
+            "uid": rng.integers(0, n_users, n_rows),
+            "pid": rng.integers(0, n_items, n_rows),
+            "domain": 0,
+        }
+    ).drop_duplicates()
+    pid_range = df["pid"].unique().tolist()
+    ctr = 0.3
+
+    loop = sample_negatives_for_domain(df, pid_range, ctr, 0, random.Random(0))
+    vec = sample_negatives_vectorized(df, pid_range, ctr, 0, np.random.default_rng(0))
+
+    # identical per-user negative counts (the recipe's arithmetic)
+    cl = loop.groupby("uid").size().sort_index()
+    cv = vec.groupby("uid").size().sort_index()
+    assert cl.equals(cv), "per-user quota mismatch"
+    # no duplicates, nothing outside the pool, nothing the user clicked
+    assert not vec.duplicated(["uid", "pid"]).any()
+    pool = set(int(p) for p in pid_range)
+    assert set(vec["pid"].astype(int)) <= pool
+    clicked = df.groupby("uid")["pid"].apply(set).to_dict()
+    for uid, g in vec.groupby("uid"):
+        assert not (set(g["pid"].astype(int)) & clicked[int(uid)])
+    # same marginal item-popularity shape (both uniform over complements)
+    fl = loop["pid"].value_counts().reindex(sorted(pool), fill_value=0)
+    fv = vec["pid"].value_counts().reindex(sorted(pool), fill_value=0)
+    assert abs(fl.mean() - fv.mean()) < 1e-9  # same total by construction
+    assert abs(fl.std() - fv.std()) < 0.35 * fl.std()
+
+
+def test_vectorized_negatives_dense_users():
+    """Users whose quota exceeds (or nearly exhausts) the complement take
+    the whole complement — the reference's sampled=candidates branch."""
+    from mamdr_tpu.data.etl.common import sample_negatives_vectorized
+
+    # user 0 clicked 8 of 10 items, ctr 0.2 -> quota 40 >> complement 2
+    df = pd.DataFrame({"uid": 0, "pid": list(range(8)), "domain": 0})
+    vec = sample_negatives_vectorized(
+        df, list(range(10)), 0.2, 0, np.random.default_rng(0)
+    )
+    assert sorted(vec["pid"]) == [8, 9]
+
+
+def test_assign_user_splits_matches_sklearn_arithmetic():
+    from mamdr_tpu.data.etl.common import assign_user_splits
+
+    # user with m rows: n_temp=ceil(0.4m), train=m-n_temp,
+    # test=ceil(n_temp/2), val=n_temp-test; m<3 -> all train
+    uid = np.concatenate([np.full(m, i) for i, m in enumerate([1, 2, 3, 10, 37])])
+    out = assign_user_splits(uid, [0.6, 0.2, 0.2], np.random.default_rng(0))
+    df = pd.DataFrame({"uid": uid, "s": out})
+    got = {
+        int(u): tuple(int((g["s"] == c).sum()) for c in (0, 1, 2))
+        for u, g in df.groupby("uid")
+    }
+    assert got[0] == (1, 0, 0) and got[1] == (2, 0, 0)
+    assert got[2] == (1, 1, 1)        # m=3: temp=2, test=1, val=1
+    assert got[3] == (6, 2, 2)        # m=10
+    assert got[4] == (22, 7, 8)       # m=37: temp=15, test=8, val=7
