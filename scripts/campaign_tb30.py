@@ -1,0 +1,233 @@
+"""Taobao-30 reference-scale AUC reproduction campaign (VERDICT item 1).
+
+Builds a Taobao-30 dataset at reference scale/statistics through the repo's
+own ETL — 30 long-tailed themes, ~890k clicks over 200k users / 60k items,
+frozen pretrained 128-d embeddings whose latent structure generates the
+clicks (the real Taobao setup: GNN vectors carry the signal, per-user data
+is too sparse to learn embeddings) — then runs the headline model/strategy
+matrix with the reference hyperparameters (benchmarks.benchmark_config) and
+writes campaign_tb30/results.json + RESULTS.md.
+
+Restartable: variants already in results.json are skipped.
+
+Run (TPU, single-client — nothing else may touch the chip):
+    nohup python scripts/campaign_tb30.py > /tmp/campaign_tb30.log 2>&1 &
+    echo $! > /tmp/campaign_tb30.pid
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import os.path as osp
+import sys
+import time
+
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
+
+ROOT = os.environ.get("CAMPAIGN_ROOT", "/root/repo/campaign_tb30")
+EPOCH_CAP = int(os.environ.get("CAMPAIGN_EPOCHS", 25))
+PATIENCE = int(os.environ.get("CAMPAIGN_PATIENCE", 3))  # reference patience
+EMB_DIM = 128
+N_USERS = int(os.environ.get("CAMPAIGN_USERS", 200_000))
+N_ITEMS = int(os.environ.get("CAMPAIGN_ITEMS", 60_000))
+N_THEME = int(os.environ.get("CAMPAIGN_THEMES", 30))
+# clicks in the largest theme; 1.12^-i decay -> ~890k total at default
+LARGEST_THEME = int(os.environ.get("CAMPAIGN_LARGEST", 100_000))
+
+VARIANTS = [
+    "mlp",
+    "mlp_meta_mamdr_finetune",
+    "mlp_meta_domain_negotiation_finetune",
+    "mlp_meta_reptile_finetune",
+    "mlp_meta_maml_finetune",
+    "mlp_meta_mldg_finetune",
+    "mlp_pcgrad",
+    "mlp_uncertainty_weight",
+    "mlp_separate",
+    "deepfm",
+    "mmoe",
+    "ple",
+    "star",
+]
+
+
+def log(msg):
+    print(f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
+
+
+def build_raw():
+    raw = osp.join(ROOT, "raw")
+    os.makedirs(raw, exist_ok=True)
+    marker = osp.join(raw, "theme_click_log.csv")
+    if osp.exists(marker):
+        return raw
+    rng = np.random.default_rng(11)
+    lat = 16
+    u_lat = rng.normal(0, 1, (N_USERS, lat)).astype(np.float32)
+    v_lat = rng.normal(0, 1, (N_ITEMS, lat)).astype(np.float32)
+    proj = (rng.normal(0, 1, (lat, EMB_DIM)) / np.sqrt(lat)).astype(np.float32)
+    u_emb = u_lat @ proj + rng.normal(0, 0.05, (N_USERS, EMB_DIM)).astype(np.float32)
+    v_emb = v_lat @ proj + rng.normal(0, 0.05, (N_ITEMS, EMB_DIM)).astype(np.float32)
+
+    sizes = [int(LARGEST_THEME / (1.12 ** i)) for i in range(N_THEME)]
+    items_per_theme = N_ITEMS // N_THEME
+    frames = []
+    for th in range(N_THEME):
+        lo = th * items_per_theme
+        # zipf item exposure within the theme
+        p = 1.0 / (np.arange(items_per_theme) + 15.0)
+        p /= p.sum()
+        tilt = rng.normal(0, 0.3, lat).astype(np.float32)
+        need = sizes[th]
+        chosen = np.empty(0, np.int64)
+        while chosen.shape[0] < need:
+            m = 4 * (need - chosen.shape[0]) + 1000
+            us = rng.integers(0, N_USERS, m)
+            vs = lo + rng.choice(items_per_theme, size=m, p=p)
+            aff = np.sum(u_lat[us] * (v_lat[vs] + tilt), axis=1) / np.sqrt(lat)
+            keep = rng.uniform(0, 1, m) < 1.0 / (1.0 + np.exp(-3.0 * (aff - 0.5)))
+            new = us[keep].astype(np.int64) * N_ITEMS + vs[keep]
+            chosen = np.unique(np.concatenate([chosen, new]))
+        chosen = chosen[rng.permutation(chosen.shape[0])[:need]]
+        frames.append(
+            pd.DataFrame(
+                {
+                    "user_id": [f"u{u}" for u in chosen // N_ITEMS],
+                    "item_id": [f"i{v}" for v in chosen % N_ITEMS],
+                    "theme_id": 1000 + th,
+                }
+            )
+        )
+        log(f"theme {th}: {need} clicks")
+    pd.concat(frames, ignore_index=True).to_csv(marker, index=False)
+
+    log("writing pretrained embedding csvs ...")
+    for name, tab, n in (("user", u_emb, N_USERS), ("item", v_emb, N_ITEMS)):
+        ids = [f"{name[0]}{i}" for i in range(n)]
+        embs = [" ".join(f"{x:.4f}" for x in row) for row in tab]
+        pd.DataFrame({f"{name}_id": ids, "emb": embs}).set_index(
+            f"{name}_id"
+        ).to_csv(osp.join(raw, f"{name}_embedding.csv"))
+    return raw
+
+
+def build_split(raw):
+    from mamdr_tpu.data.etl import taobao
+
+    split_path = osp.join(ROOT, "split_by_theme_30")
+    if not osp.exists(osp.join(split_path, f"domain_{N_THEME-1}", "train.csv")):
+        t0 = time.time()
+        taobao.split_to_domains(
+            {
+                "raw_data_path": raw,
+                "split_save_path": split_path,
+                "processed_data_path": "processed_data",
+                "theme_num": N_THEME,
+                "ctr_ratio": 0.3,
+                "random_range": True,
+                "ctr_ratio_range": [0.2, 0.5],
+                "train_val_test": [0.6, 0.2, 0.2],
+                "seed": 123,
+                "rebuild": False,
+            }
+        )
+        log(f"ETL split built in {time.time()-t0:.0f}s")
+    return split_path
+
+
+def run_variant(name, dataset, results):
+    from mamdr_tpu.benchmarks import benchmark_config
+    from mamdr_tpu.strategies import build_strategy
+    from mamdr_tpu.train.trainer import Trainer
+
+    cfg = benchmark_config("Taobao_30", name)
+    cfg.train.epoch = EPOCH_CAP
+    cfg.train.patience = PATIENCE
+    cfg.train.checkpoint_path = osp.join(ROOT, "ckpt")
+    cfg.train.result_save_path = osp.join(ROOT, "result")
+    t0 = time.time()
+    entry = {}
+    try:
+        trainer = Trainer(cfg, dataset, verbose=False)
+        strat = build_strategy(trainer)
+        if strat.spec.strategy == "separate":
+            from mamdr_tpu.strategies.separate import separate_train_val_test
+
+            _, avg_auc, _, domain_auc = separate_train_val_test(
+                trainer, init_params=True
+            )
+        else:
+            strat.train()
+            _, avg_auc, _, domain_auc = strat.test()
+        entry["test"] = {
+            "avg_auc": avg_auc,
+            "weighted_auc": trainer.weighted_auc("test", domain_auc),
+            "domain_auc": domain_auc,
+        }
+        log(f"{name}: test AUC {avg_auc:.4f} "
+            f"(weighted {entry['test']['weighted_auc']:.4f})")
+        if strat.spec.finetune:
+            _, ft_auc, _, ft_domain = strat.finetune()
+            entry["finetune"] = {
+                "avg_auc": ft_auc,
+                "weighted_auc": trainer.weighted_auc("test", ft_domain),
+                "domain_auc": ft_domain,
+            }
+            log(f"{name}: finetune AUC {ft_auc:.4f} "
+                f"(weighted {entry['finetune']['weighted_auc']:.4f})")
+        entry["seconds"] = round(time.time() - t0, 1)
+    except Exception as e:  # keep the campaign going
+        import traceback
+
+        traceback.print_exc()
+        entry["error"] = f"{type(e).__name__}: {e}"
+        log(f"{name} FAILED: {entry['error']}")
+    results[name] = entry
+    with open(osp.join(ROOT, "results.json"), "w") as f:
+        json.dump(results, f, indent=2)
+
+
+def main():
+    os.makedirs(ROOT, exist_ok=True)
+    raw = build_raw()
+    build_split(raw)
+
+    import jax
+
+    log(f"devices: {jax.devices()}")
+
+    from mamdr_tpu.config import DatasetConfig
+    from mamdr_tpu.data.dataset import MultiDomainDataset
+
+    t0 = time.time()
+    dataset = MultiDomainDataset.from_disk(
+        DatasetConfig(
+            name="Taobao", dataset_path=ROOT,
+            domain_split_path="split_by_theme_30", batch_size=1024, seed=123,
+        )
+    )
+    log(
+        f"dataset loaded in {time.time()-t0:.0f}s: {dataset.n_domain} domains, "
+        f"n_uid={dataset.n_uid}, n_pid={dataset.n_pid}, "
+        f"train sizes={[s.n for s in dataset.train]}"
+    )
+
+    results = {}
+    rp = osp.join(ROOT, "results.json")
+    if osp.exists(rp):
+        with open(rp) as f:
+            results = json.load(f)
+    for name in VARIANTS:
+        if name in results and "error" not in results.get(name, {}):
+            log(f"skip {name} (done)")
+            continue
+        run_variant(name, dataset, results)
+    log("campaign complete")
+
+
+if __name__ == "__main__":
+    main()
