@@ -193,6 +193,11 @@ class TrainConfig:
     # Tables with at least this many rows use the row-sharded shard_map
     # lookup when the Trainer is given a mesh; smaller tables replicate.
     sharded_lookup_min_rows: int = 16384
+    # Per-domain finetune/separate checkpoint artifacts: the reference's
+    # ModelCheckpoint writes domain_{idx}.h5 with each domain's best weights
+    # during separate_train_val_test (base_model.py:77-90). True writes the
+    # equivalent domain_{idx}.npz into the run's checkpoint dir.
+    domain_checkpoints: bool = True
     # Flat-vector Adam (one fused update kernel instead of one per leaf;
     # bit-exact to optax.adam, ~11% faster fused epochs on v5e — see
     # train/flat_optimizer.py).

@@ -34,18 +34,35 @@ def _category_filename(category: str) -> str:
     return category.replace(", ", "_").replace(" ", "_")
 
 
-def _raw_path(category: str, raw_data_path: str) -> str:
+def _raw_path(
+    category: str,
+    raw_data_path: str,
+    redownload: bool = False,
+    mirror_path=None,
+    base_url=None,
+) -> str:
     base = _category_filename(category)
-    for ext in (".json.gz", ".jsonl", ".json", ".csv"):
-        p = osp.join(raw_data_path, base + ext)
-        if osp.exists(p):
+    # reference layout first ({Category}_5.json.gz, get_raw_data.py:10-11),
+    # then bare extensions
+    for suffix in ("_5.json.gz", ".json.gz", ".jsonl", ".json", ".csv"):
+        p = osp.join(raw_data_path, base + suffix)
+        if osp.exists(p) and not redownload:
             return p
-    raise FileNotFoundError(
-        f"raw reviews for {category!r} not found under {raw_data_path} "
-        f"(expected {base}.json.gz — download the 5-core category file "
-        f"from the UCSD Amazon review dataset and place it there; this "
-        f"environment has no network egress)"
-    )
+    # fetch shim: local mirror / overridden URL / reference UCSD endpoint
+    from mamdr_tpu.data.etl.get_raw_data import get_raw_data_path
+
+    try:
+        return get_raw_data_path(
+            category, raw_data_path, redownload=redownload,
+            base_url=base_url, mirror_path=mirror_path,
+        )
+    except Exception as e:
+        raise FileNotFoundError(
+            f"raw reviews for {category!r} not found under {raw_data_path} "
+            f"and could not be fetched ({e}) — place the 5-core category "
+            f"file there, or set mirror_path/MAMDR_AMAZON_MIRROR to a local "
+            f"mirror directory"
+        ) from e
 
 
 def load_reviews(path: str) -> pd.DataFrame:
@@ -68,6 +85,9 @@ def preprocess(
     processed_data_path: str,
     raw_data_path: str,
     rebuild: bool = False,
+    redownload: bool = False,
+    mirror_path=None,
+    base_url=None,
 ) -> List[str]:
     """Reviews -> per-category processed csv with persistent id maps
     (reference preprocess_data.py:27-63)."""
@@ -84,7 +104,9 @@ def preprocess(
         if not rebuild and osp.exists(processed):
             out.append(processed)
             continue
-        df = load_reviews(_raw_path(c, raw_data_path))
+        df = load_reviews(
+            _raw_path(c, raw_data_path, redownload, mirror_path, base_url)
+        )
         df["uid"] = df["uid"].map(uid2id.fit_transform)
         df["pid"] = df["pid"].map(pid2id.fit_transform)
         df.to_csv(processed, index=False, columns=["uid", "pid", "score"])
@@ -105,6 +127,9 @@ def split_to_domains(conf: dict) -> int:
         processed_data_path,
         conf["raw_data_path"],
         rebuild=conf.get("rebuild", False),
+        redownload=conf.get("redownload", False),
+        mirror_path=conf.get("mirror_path"),
+        base_url=conf.get("base_url"),
     )
     n = split_domains(
         files, split_save_path, conf,

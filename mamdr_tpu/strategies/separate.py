@@ -127,7 +127,24 @@ def _separate_fused(
     losses, aucs = np.asarray(losses), np.asarray(aucs)
     domain_loss = {str(i): float(losses[i]) for i in range(d)}
     domain_auc = {str(i): float(aucs[i]) for i in range(d)}
+    if tc.domain_checkpoints:
+        _save_domain_checkpoints(
+            t, lambda i: jax.tree_util.tree_map(lambda x: x[i], best_params)
+        )
     return t.summarize("test", domain_loss, domain_auc)
+
+
+def _save_domain_checkpoints(trainer, params_for):
+    """Per-domain best-weights artifacts, the reference ModelCheckpoint
+    layout (base_model.py:77-90: checkpoint_dir/domain_{idx}.h5 -> .npz)."""
+    import os.path as osp
+
+    from mamdr_tpu.train import checkpoints
+
+    for i in range(trainer.dataset.n_domain):
+        checkpoints.save_pytree(
+            osp.join(trainer.checkpoint_dir, f"domain_{i}.npz"), params_for(i)
+        )
 
 
 def _separate_loop(
@@ -186,6 +203,13 @@ def _separate_loop(
         l, a = t.evaluate_domain("test", idx, best_params, best_stats)
         domain_loss[str(idx)] = l
         domain_auc[str(idx)] = a
+        if tc.domain_checkpoints:
+            from mamdr_tpu.train import checkpoints
+            import os.path as osp
+
+            checkpoints.save_pytree(
+                osp.join(t.checkpoint_dir, f"domain_{idx}.npz"), best_params
+            )
 
     avg_loss = sum(domain_loss.values()) / len(domain_loss)
     avg_auc = sum(domain_auc.values()) / len(domain_auc)

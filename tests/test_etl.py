@@ -267,3 +267,33 @@ def test_assign_user_splits_matches_sklearn_arithmetic():
     assert got[2] == (1, 1, 1)        # m=3: temp=2, test=1, val=1
     assert got[3] == (6, 2, 2)        # m=10
     assert got[4] == (22, 7, 8)       # m=37: temp=15, test=8, val=7
+
+
+def test_amazon_mirror_shim(tmp_path):
+    """Zero-egress downloader parity: the fetch shim resolves category files
+    from a local mirror with the reference's {Category}_5.json.gz naming
+    (reference get_raw_data.py:7-41)."""
+    import gzip as gz
+
+    from mamdr_tpu.data.etl.amazon import _raw_path
+    from mamdr_tpu.data.etl.get_raw_data import (
+        category_name_to_filename,
+        get_raw_data_path,
+    )
+
+    assert category_name_to_filename("Video Games") == "Video_Games_5.json.gz"
+    assert (
+        category_name_to_filename("Patio, Lawn and Garden")
+        == "Patio_Lawn_and_Garden_5.json.gz"
+    )
+
+    mirror = tmp_path / "mirror"
+    mirror.mkdir()
+    with gz.open(mirror / "Video_Games_5.json.gz", "wt") as f:
+        f.write(json.dumps({"reviewerID": "u1", "asin": "i1", "overall": 5.0}) + "\n")
+    target = tmp_path / "raw"
+    p = get_raw_data_path("Video Games", str(target), mirror_path=str(mirror))
+    assert osp.exists(p)
+    # idempotent second call; _raw_path finds the _5-suffixed file
+    assert get_raw_data_path("Video Games", str(target), mirror_path=str(mirror)) == p
+    assert _raw_path("Video Games", str(target)) == p

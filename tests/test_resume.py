@@ -96,3 +96,41 @@ def test_mamdr_resume(tmp_path):
     # full run resumes and completes without error
     avg_loss, avg_auc, _, domain_auc = s2.run()
     assert len(domain_auc) == 2 and np.isfinite(avg_loss)
+
+
+def test_per_domain_finetune_artifacts(tmp_path):
+    """separate/finetune writes domain_{idx}.npz best-weights artifacts
+    (reference ModelCheckpoint layout, base_model.py:77-90)."""
+    import os.path as osp
+
+    import numpy as np
+
+    from mamdr_tpu.config import ExperimentConfig
+    from mamdr_tpu.data.synthetic import make_synthetic_dataset
+    from mamdr_tpu.strategies import build_strategy
+    from mamdr_tpu.train import checkpoints
+    from mamdr_tpu.train.trainer import Trainer
+
+    cfg = ExperimentConfig.from_dict(
+        {
+            "model": {"name": "mlp_separate", "user_dim": 8, "item_dim": 8,
+                       "domain_dim": 8, "hidden_dim": [16, 8], "dropout": 0.0},
+            "train": {"epoch": 2, "learning_rate": 0.01, "patience": 2,
+                       "metrics_jsonl": False},
+            "dataset": {"name": "synthetic", "batch_size": 128, "seed": 7},
+        }
+    )
+    cfg.train.checkpoint_path = str(tmp_path / "ckpt")
+    cfg.train.result_save_path = str(tmp_path / "res")
+    ds = make_synthetic_dataset(n_domain=3, n_uid=40, n_pid=40,
+                                n_per_domain=600, seed=7, batch_size=128)
+    t = Trainer(cfg, ds, verbose=False)
+    build_strategy(t).run()
+    for i in range(3):
+        p = osp.join(t.checkpoint_dir, f"domain_{i}.npz")
+        assert osp.exists(p), f"missing {p}"
+        tree = checkpoints.load_pytree(p, t.state.params)
+        assert all(
+            np.all(np.isfinite(np.asarray(x)))
+            for x in __import__("jax").tree_util.tree_leaves(tree)
+        )
