@@ -38,6 +38,10 @@ class StepConfig(NamedTuple):
     num_thresholds: int = 500
     has_batch_stats: bool = False
     has_dropout: bool = False
+    # Use the fused Pallas forward+backward kernel for the train step when
+    # the model/config shape is eligible (ops/fused_mlp_step.py); autodiff
+    # otherwise. Kernel-vs-autodiff equivalence: tests/test_fused_mlp_step.py.
+    fused_kernel: bool = True
     # Meta-grad accumulation mode (average_meta_grad, reference
     # maml.py:208-229): "sum" (none/mean — mean scales at apply time),
     # "ema" (moving_mean, 0.999), "drop" (Dropout 0.2 on 1-D grads).
@@ -124,12 +128,21 @@ def make_train_step(model, tx: optax.GradientTransformation, cfg: StepConfig):
     """The one train step shared by every execution path (plain, fused,
     sharded): (state, batch) -> (state, data_loss)."""
     loss_fn = make_loss_fn(model, cfg)
+    fast = None
+    if cfg.fused_kernel:
+        from mamdr_tpu.ops.fused_mlp_step import maybe_make_fast_loss_grad
+
+        fast = maybe_make_fast_loss_grad(model, cfg)
 
     def train_step(state: TrainState, batch):
         rng = jax.random.fold_in(state.rng, state.step)
-        (loss, (new_stats, _, data_loss)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(state.params, state.batch_stats, batch, rng, True)
+        if fast is not None:
+            data_loss, grads = fast(state.params, batch, rng, train=True)
+            new_stats = state.batch_stats
+        else:
+            (loss, (new_stats, _, data_loss)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params, state.batch_stats, batch, rng, True)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         # All-padding batches (weight sums to 0 — produced when fused blocks
