@@ -102,6 +102,12 @@ def main():
     trainer = Trainer(cfg, ds, verbose=False)
     strat = MAMDRStrategy(trainer)
 
+    # The flat-vector Adam (one fused update kernel) must be active — its
+    # absence was the suspected cause of the r01 8.65M-vs-10.4M gap.
+    assert cfg.train.flat_optimizer, "flat_optimizer must be on for the bench"
+    log(f"flat_optimizer={cfg.train.flat_optimizer} "
+        f"emb_trainable={cfg.train.emb_trainable} dropout=0.5 hash-PRNG")
+
     steps_per_domain = -(-int(ds.train[0].n) // batch_size)
     # One MAMDR epoch trains: DN = n_domain epochs; DR = n_domain *
     # (sample_num + add_query) * (support epoch + query epoch).
@@ -126,19 +132,50 @@ def main():
     sync()
     log(f"warmup: {time.time() - t0:.1f}s")
 
-    log("measuring 3 epochs (2 dispatches each)...")
-    n_measure = 3
-    t0 = time.time()
+    log("measuring 5 epochs (2 dispatches each)...")
+    n_measure = 5
+    times = []
     for _ in range(n_measure):
+        t0 = time.time()
         strat.run_fused_epoch()
         sync()
-    elapsed = (time.time() - t0) / n_measure
+        times.append(time.time() - t0)
+    elapsed = float(np.median(times))
     throughput = examples_per_epoch / elapsed
     log(
-        f"epoch: {elapsed:.2f}s, {examples_per_epoch} examples "
+        f"epoch times: {[f'{t:.2f}' for t in times]}s "
+        f"(median {elapsed:.2f}, best {min(times):.2f}); "
+        f"{examples_per_epoch} examples "
         f"({runs_per_epoch} domain-epochs x {steps_per_domain} steps) "
-        f"-> {throughput:,.0f} ex/s"
+        f"-> {throughput:,.0f} ex/s median, "
+        f"{examples_per_epoch / min(times):,.0f} best"
     )
+
+    # MFU estimate: MLP tower fwd = 384*256+256*128+128*64+64 ~ 139k MACs
+    # per example; train ~ 3x fwd (dense bwd; tables frozen). v5e bf16 peak
+    # ~394 TFLOP/s. This workload is dispatch/gather-bound, not MXU-bound —
+    # low MFU is expected at this model size (see PERF.md).
+    train_flops_per_example = 3 * 2 * 139_392
+    mfu = throughput * train_flops_per_example / 394e12
+    log(f"MFU estimate: {mfu * 100:.2f}% of v5e bf16 peak")
+
+    # Secondary surfaces (stderr only; the one JSON line stays the flagship).
+    try:
+        eval_block = trainer.eval_block("val")
+        trainer.val_and_test("val")  # compile
+        t0 = time.time()
+        trainer.val_and_test("val")
+        n_eval = sum(s.n for s in ds.val)
+        ev = time.time() - t0
+        pad_eval = (
+            eval_block["uid"].shape[0]
+            * eval_block["uid"].shape[1]
+            * eval_block["uid"].shape[2]
+        )
+        log(f"fused all-domain eval: {ev:.2f}s for {n_eval} real "
+            f"({pad_eval} padded) examples -> {n_eval/ev:,.0f} ex/s")
+    except Exception as e:
+        log(f"eval bench skipped: {e}")
 
     print(
         json.dumps(
@@ -147,6 +184,8 @@ def main():
                 "value": round(throughput, 1),
                 "unit": "examples/s",
                 "vs_baseline": round(throughput / BASELINE_EXAMPLES_PER_SEC, 2),
+                "mfu_bf16_est": round(mfu, 4),
+                "epoch_seconds_median": round(elapsed, 3),
             }
         )
     )

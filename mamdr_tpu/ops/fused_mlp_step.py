@@ -220,7 +220,9 @@ def maybe_make_fast_loss_grad(model, cfg, interpret: bool = False):
         return None
     if _LOOKUP_MESH["mesh"] is not None:
         return None
-    if not interpret and jax.default_backend() != "tpu":
+    # compiled Pallas needs the TPU backend; this image's tunneled chip may
+    # report its platform as "axon" rather than "tpu", so exclude only CPU
+    if not interpret and jax.default_backend() == "cpu":
         return None
 
     dims = (
