@@ -111,7 +111,7 @@ class MAMLStrategy(MetaStrategy):
                 queries, t.dataset.batch_size
             )
         epoch_fn = fused.make_fused_maml(
-            t.train_step_fn(), t.loss_fn, self.mask, self.meta_tx,
+            t.train_step_fn(), t.accum_grad_fn, self.mask, self.meta_tx,
             n_steps_s, n_steps_q, t.dataset.batch_size,
             batch_mode=self.spec.batch_update,
             cap_steps=self.tc.meta_train_step,

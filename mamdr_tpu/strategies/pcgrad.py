@@ -62,7 +62,7 @@ class PCGradStrategy(MAMLStrategy):
                 supports, t.dataset.batch_size
             )
         epoch_fn = fused.make_fused_pcgrad(
-            t.loss_fn, self.mask, self.meta_tx, n_steps, t.dataset.batch_size,
+            t.accum_grad_fn, self.mask, self.meta_tx, n_steps, t.dataset.batch_size,
             cap_steps=self.tc.meta_train_step, mode=self.tc.pcgrad_mode,
         )
         sequence = self.domain_sequence()

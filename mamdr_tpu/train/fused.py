@@ -274,7 +274,7 @@ def make_fused_passes(train_step, n_steps: int, batch: int):
 
 
 def _grad_epoch_on_flat(
-    loss_fn, params, batch_stats, flat, rng, n_steps: int, batch: int,
+    grad_fn, params, batch_stats, flat, rng, n_steps: int, batch: int,
     acc, accumulate: str = "sum", cap_steps: int = 0, shuffle: bool = True,
 ):
     """Accumulate grads over a flat block at fixed params (inference mode,
@@ -304,9 +304,7 @@ def _grad_epoch_on_flat(
 
     def step(carry, b):
         acc, i = carry
-        _, grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, batch_stats, b, jax.random.fold_in(rng, i), False
-        )
+        grads = grad_fn(params, batch_stats, b, jax.random.fold_in(rng, i))
         if accumulate == "ema":
             new_acc = jax.tree_util.tree_map(
                 lambda a, g: a * 0.999 + g * 0.001, acc, grads
@@ -325,7 +323,7 @@ def _grad_epoch_on_flat(
 
 def make_fused_maml(
     train_step,
-    loss_fn,
+    grad_fn,
     mask: Pytree,
     meta_tx,
     n_steps_support: int,
@@ -377,7 +375,7 @@ def make_fused_maml(
             state = state.replace(params=ops.load_masked(state.params, meta, mask))
             if mldg:
                 acc = _grad_epoch_on_flat(
-                    loss_fn, state.params, state.batch_stats, sup_flat, r_sup,
+                    grad_fn, state.params, state.batch_stats, sup_flat, r_sup,
                     n_steps_support, batch, acc, accumulate, cap_steps, shuffle,
                 )
                 adapted, meta_opt = apply_meta(state.params, meta_opt, acc)
@@ -388,7 +386,7 @@ def make_fused_maml(
                     cap_steps=cap_steps, shuffle=shuffle,
                 )
             acc = _grad_epoch_on_flat(
-                loss_fn, state.params, state.batch_stats, q_flat, r_q,
+                grad_fn, state.params, state.batch_stats, q_flat, r_q,
                 n_steps_query, batch, acc, accumulate, cap_steps, shuffle,
             )
             if not batch_mode:
@@ -410,7 +408,7 @@ def make_fused_maml(
 
 
 def make_fused_pcgrad(
-    loss_fn,
+    grad_fn,
     mask: Pytree,
     meta_tx,
     n_steps: int,
@@ -441,7 +439,7 @@ def make_fused_pcgrad(
             zero = trees_mod.tree_zeros_like(state.params)
             q_flat = {k: v[q] for k, v in block.items()}
             qg = _grad_epoch_on_flat(
-                loss_fn, state.params, state.batch_stats, q_flat, r_q,
+                grad_fn, state.params, state.batch_stats, q_flat, r_q,
                 n_steps, batch, zero, "sum", cap_steps, shuffle,
             )
 
@@ -449,7 +447,7 @@ def make_fused_pcgrad(
                 a_idx, r2 = xs2
                 a_flat = {k: v[a_idx] for k, v in block.items()}
                 ag = _grad_epoch_on_flat(
-                    loss_fn, state.params, state.batch_stats, a_flat, r2,
+                    grad_fn, state.params, state.batch_stats, a_flat, r2,
                     n_steps, batch, trees_mod.tree_zeros_like(running), "sum", 0,
                     shuffle,
                 )

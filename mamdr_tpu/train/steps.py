@@ -168,8 +168,33 @@ def make_train_step(model, tx: optax.GradientTransformation, cfg: StepConfig):
     return train_step, loss_fn
 
 
+def make_accum_grad_fn(model, cfg: StepConfig):
+    """grad_fn(params, batch_stats, batch, rng) -> grads of the total loss at
+    fixed params, train=False (the meta-accumulation contract — reference
+    maml.py:196-234 runs its accumulate K.function at learning phase 0).
+    Uses the fused Pallas kernel when eligible, autodiff otherwise."""
+    loss_fn = make_loss_fn(model, cfg)
+    fast = None
+    if cfg.fused_kernel:
+        from mamdr_tpu.ops.fused_mlp_step import maybe_make_fast_loss_grad
+
+        fast = maybe_make_fast_loss_grad(model, cfg)
+
+    def grad_fn(params, batch_stats, batch, rng):
+        if fast is not None:
+            _, grads = fast(params, batch, rng, train=False)
+            return grads
+        _, grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, batch_stats, batch, rng, False
+        )
+        return grads
+
+    return grad_fn
+
+
 def build_train_fns(model, tx: optax.GradientTransformation, cfg: StepConfig) -> TrainFns:
     train_step, loss_fn = make_train_step(model, tx, cfg)
+    accum_grad_fn = make_accum_grad_fn(model, cfg)
 
     @jax.jit
     def train_epoch(state: TrainState, stacked):
@@ -213,9 +238,7 @@ def build_train_fns(model, tx: optax.GradientTransformation, cfg: StepConfig) ->
         def step(carry, batch):
             acc, i = carry
             step_rng = jax.random.fold_in(rng, i)
-            _, grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                params, batch_stats, batch, step_rng, False
-            )
+            grads = accum_grad_fn(params, batch_stats, batch, step_rng)
             if cfg.meta_accumulate == "ema":
                 acc = jax.tree_util.tree_map(
                     lambda a, g: a * 0.999 + g * 0.001, acc, grads

@@ -160,9 +160,12 @@ class Trainer:
         self.best_params = None  # on-device mirror of the best checkpoint
 
         from mamdr_tpu.train.fused import make_fused_eval
-        from mamdr_tpu.train.steps import make_loss_fn
+        from mamdr_tpu.train.steps import make_accum_grad_fn, make_loss_fn
 
         self.loss_fn = make_loss_fn(self.model, self.step_cfg)
+        # grads-at-fixed-params for the meta accumulation paths (fused
+        # kernel when eligible, autodiff otherwise)
+        self.accum_grad_fn = make_accum_grad_fn(self.model, self.step_cfg)
         self._fused_eval = make_fused_eval(self.loss_fn, 500)
         self._train_block = None
 

@@ -158,7 +158,7 @@ def test_fused_maml_equals_loop(tmp_path):
     s2 = MAMLStrategy(t2)
     block, n_steps = fused.stack_domains_on_device(ds.train, BATCH)
     epoch_fn = fused.make_fused_maml(
-        t2.train_step_fn(), t2.loss_fn, s2.mask, s2.meta_tx,
+        t2.train_step_fn(), t2.accum_grad_fn, s2.mask, s2.meta_tx,
         n_steps, n_steps, BATCH, batch_mode=False, shuffle=False,
     )
     meta2 = t2.state.params
@@ -198,7 +198,7 @@ def test_fused_mldg_equals_loop(tmp_path):
     s2 = MLDGStrategy(t2)
     block, n_steps = fused.stack_domains_on_device(ds.train, BATCH)
     epoch_fn = fused.make_fused_maml(
-        t2.train_step_fn(), t2.loss_fn, s2.mask, s2.meta_tx,
+        t2.train_step_fn(), t2.accum_grad_fn, s2.mask, s2.meta_tx,
         n_steps, n_steps, BATCH, batch_mode=False, mldg=True, shuffle=False,
     )
     meta2 = t2.state.params
@@ -239,7 +239,7 @@ def test_fused_pcgrad_equals_loop(tmp_path, mode):
     s2 = PCGradStrategy(t2)
     block, n_steps = fused.stack_domains_on_device(ds.train, BATCH)
     epoch_fn = fused.make_fused_pcgrad(
-        t2.loss_fn, s2.mask, s2.meta_tx, n_steps, BATCH, mode=mode,
+        t2.accum_grad_fn, s2.mask, s2.meta_tx, n_steps, BATCH, mode=mode,
         shuffle=False,
     )
     t2.state, s2.meta_opt_state = epoch_fn(
