@@ -53,13 +53,28 @@ class MAMDRStrategy(MetaStrategy):
             lambda adapted, merged, sp: ops.specific_from_adapted(adapted, merged, sp, m)
         )
         self.shared = trainer.state.params
+        # Only MASKED (meta-subset) leaves of a specific tree are ever read
+        # (merge/load/stack are all mask-gated), so unmasked leaves alias the
+        # shared tree instead of holding their own buffers. Without this,
+        # n_domain fresh full trees pin n_domain copies of the (potentially
+        # ~125MB frozen pretrained) tables in HBM — observed OOM at
+        # reference Taobao-30 scale.
+        # NOTE: deliberately NOT jitted — a jitted select would copy the
+        # aliased leaves into fresh output buffers; the python tree_map keeps
+        # the very same shared arrays.
+        def strip(fresh, shared):
+            return jax.tree_util.tree_map(
+                lambda mm, f, s: f if mm else s, m, fresh, shared
+            )
         if self.tc.specific_init == "zeros":
-            self.specific: List = [
-                trees.tree_zeros_like(self.shared) for _ in range(self.n_domain)
-            ]
+            zeros = strip(trees.tree_zeros_like(self.shared), self.shared)
+            self.specific: List = [zeros for _ in range(self.n_domain)]
         else:
             self.specific = [
-                trainer.fresh_params(seed=trainer.dataset.seed + 1 + i)
+                strip(
+                    trainer.fresh_params(seed=trainer.dataset.seed + 1 + i),
+                    self.shared,
+                )
                 for i in range(self.n_domain)
             ]
         self.best_shared = self.shared

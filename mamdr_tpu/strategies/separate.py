@@ -57,25 +57,40 @@ def _separate_fused(
     import numpy as np
 
     from mamdr_tpu.train import fused
-    from mamdr_tpu.train.steps import make_train_step
+    from mamdr_tpu.train.steps import make_subset_train_step
+    from mamdr_tpu.utils import trees
 
     t = trainer
     tc = t.config.train
     d = t.dataset.n_domain
     tx = t.finetune_tx if not init_params else t.tx
-    train_step, _ = make_train_step(t.model, tx, t.step_cfg)
+    # Frozen pretrained tables are shared across the vmapped domain batch —
+    # the carried/stacked state holds scalar placeholders for them (stacking
+    # D copies of ~125MB tables exhausts HBM at reference Taobao scale).
+    frozen_mask = trees.named_tree_map(
+        lambda n, x: (not tc.emb_trainable)
+        and ("user_emb" in n or "item_emb" in n),
+        t.state.params,
+    )
+    train_step, to_sub, combine = make_subset_train_step(
+        t.model, tx, t.step_cfg, frozen_mask, t.state.params
+    )
+
+    def loss_fn_sub(p, stats, batch, rng, train):
+        return t.loss_fn(combine(p), stats, batch, rng, train)
+
     block, n_steps = t.train_block()
     epoch_all, eval_all, select_best = fused.make_fused_separate(
-        train_step, t.loss_fn, n_steps, t.dataset.batch_size
+        train_step, loss_fn_sub, n_steps, t.dataset.batch_size
     )
 
     # Per-domain starting params (same start, or params_fn merges).
     if params_fn is None:
-        base_params = [t.state.params] * d
+        base_params = [to_sub(t.state.params)] * d
         base_stats = [t.state.batch_stats] * d
     else:
         pairs = [params_fn(i) for i in range(d)]
-        base_params = [p for p, _ in pairs]
+        base_params = [to_sub(p) for p, _ in pairs]
         base_stats = [s for _, s in pairs]
     params_stacked = jax.tree_util.tree_map(
         lambda *xs: jnp.stack(xs), *base_params
@@ -128,6 +143,8 @@ def _separate_fused(
     domain_loss = {str(i): float(losses[i]) for i in range(d)}
     domain_auc = {str(i): float(aucs[i]) for i in range(d)}
     if tc.domain_checkpoints:
+        # artifacts hold the per-domain TRAINABLE leaves (frozen pretrained
+        # tables are immutable and live in model_parameters.npz)
         _save_domain_checkpoints(
             t, lambda i: jax.tree_util.tree_map(lambda x: x[i], best_params)
         )

@@ -168,6 +168,75 @@ def make_train_step(model, tx: optax.GradientTransformation, cfg: StepConfig):
     return train_step, loss_fn
 
 
+def make_subset_train_step(model, tx, cfg: StepConfig, frozen_mask, frozen_full):
+    """Train step whose carried params hold only the TRAINABLE subset.
+
+    Frozen leaves (frozen_mask True — the pretrained user/item tables when
+    emb_trainable is false) are captured once as closure constants and
+    replaced by scalar placeholders in the state the step carries. The
+    vmapped separate/finetune path (fused.make_fused_separate) then stacks
+    ONLY per-domain-varying leaves: without this, a 30-domain Taobao finetune
+    stacks 30 copies of ~125MB frozen tables and exhausts HBM (observed:
+    RESOURCE_EXHAUSTED at reference scale).
+
+    Returns (train_step, to_sub, combine): to_sub(full)->sub replaces frozen
+    leaves with scalar zeros; combine(sub)->full restores the shared frozen
+    buffers (one copy for every vmap lane).
+    """
+    loss_fn = make_loss_fn(model, cfg)
+    fast = None
+    if cfg.fused_kernel:
+        from mamdr_tpu.ops.fused_mlp_step import maybe_make_fast_loss_grad
+
+        fast = maybe_make_fast_loss_grad(model, cfg)
+
+    fz = frozen_mask
+
+    def to_sub(full):
+        return jax.tree_util.tree_map(
+            lambda f, x: jnp.zeros((), x.dtype) if f else x, fz, full
+        )
+
+    def combine(sub):
+        return jax.tree_util.tree_map(
+            lambda f, frozen, s: frozen if f else s, fz, frozen_full, sub
+        )
+
+    def loss_sub(sub, batch_stats, batch, rng, train):
+        return loss_fn(combine(sub), batch_stats, batch, rng, train)
+
+    def train_step(state: TrainState, batch):
+        rng = jax.random.fold_in(state.rng, state.step)
+        if fast is not None:
+            data_loss, grads_full = fast(
+                combine(state.params), batch, rng, train=True
+            )
+            grads = to_sub(grads_full)
+            new_stats = state.batch_stats
+        else:
+            (loss, (new_stats, _, data_loss)), grads = jax.value_and_grad(
+                loss_sub, has_aux=True
+            )(state.params, state.batch_stats, batch, rng, True)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        has_data = jnp.sum(batch["weight"]) > 0.0
+
+        def keep(new, old):
+            return jax.tree_util.tree_map(
+                lambda n, o: jnp.where(has_data, n, o), new, old
+            )
+
+        new_state = state.replace(
+            params=keep(new_params, state.params),
+            opt_state=keep(new_opt, state.opt_state),
+            batch_stats=keep(new_stats, state.batch_stats),
+            step=state.step + jnp.where(has_data, 1, 0).astype(state.step.dtype),
+        )
+        return new_state, data_loss
+
+    return train_step, to_sub, combine
+
+
 def make_accum_grad_fn(model, cfg: StepConfig):
     """grad_fn(params, batch_stats, batch, rng) -> grads of the total loss at
     fixed params, train=False (the meta-accumulation contract — reference

@@ -1,0 +1,271 @@
+"""North-star matrix for the other four benchmarks (BASELINE.md targets):
+
+  Amazon-6   (learned embeddings)  : mlp, mlp_separate, mlp_meta_mamdr_finetune
+  Amazon-13  (learned embeddings)  : deepfm, mlp, mlp_meta_mamdr_finetune
+  Taobao-10  (frozen pretrained)   : mmoe, ple, mlp, mlp_meta_mamdr_finetune
+  Taobao-20  (frozen pretrained)   : star, mlp, star_meta_mamdr_finetune
+
+Amazon raw reviews are synthesised at 5-core-like scale (long-tailed
+categories, latent user/item affinity) and built through the repo's Amazon
+ETL; Taobao-10/20 reuse the SAME theme-click log + pretrained embeddings as
+campaign_tb30 (the reference builds all theme splits from one raw log —
+dataset/Taobao/config_*.json differ only in theme_num).
+
+Stage 1 (CPU, safe while the TPU is busy):  python ... --build-only
+Stage 2 (TPU, single-client):               nohup python ... &
+
+Restartable per benchmark/variant via results.json.
+"""
+
+from __future__ import annotations
+
+import gzip
+import json
+import os
+import os.path as osp
+import sys
+import time
+
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
+
+ROOT = "/root/repo/campaign_others"
+TB_ROOT = "/root/repo/campaign_tb30"
+EPOCH_CAP = 25
+PATIENCE = 3
+
+AMAZON_N_USERS, AMAZON_ITEMS_PER_CAT = 60_000, 3_000
+AMAZON_SIZES = [120_000, 90_000, 70_000, 55_000, 42_000, 33_000,
+                26_000, 20_000, 15_000, 12_000, 9_000, 7_000, 5_500]
+CATS = [f"Cat {i}" for i in range(13)]
+
+MATRIX = {
+    "Amazon_6": ["mlp", "mlp_separate", "mlp_meta_mamdr_finetune"],
+    "Amazon_13": ["deepfm", "mlp", "mlp_meta_mamdr_finetune"],
+    "Taobao-10": ["mmoe", "ple", "mlp", "mlp_meta_mamdr_finetune"],
+    "Taobao_20": ["star", "mlp", "star_meta_mamdr_finetune"],
+}
+
+
+def log(msg):
+    print(f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
+
+
+def build_amazon_raw():
+    raw = osp.join(ROOT, "amazon_raw")
+    os.makedirs(raw, exist_ok=True)
+    done = osp.join(raw, CATS[-1].replace(" ", "_") + ".json.gz")
+    if osp.exists(done):
+        return raw
+    rng = np.random.default_rng(17)
+    lat = 16
+    u_lat = rng.normal(0, 1, (AMAZON_N_USERS, lat)).astype(np.float32)
+    for ci, (cat, n_rows) in enumerate(zip(CATS, AMAZON_SIZES)):
+        v_lat = rng.normal(0, 1, (AMAZON_ITEMS_PER_CAT, lat)).astype(np.float32)
+        tilt = rng.normal(0, 0.3, lat).astype(np.float32)
+        p = 1.0 / (np.arange(AMAZON_ITEMS_PER_CAT) + 15.0)
+        p /= p.sum()
+        chosen = np.empty(0, np.int64)
+        while chosen.shape[0] < n_rows:
+            m = 4 * (n_rows - chosen.shape[0]) + 1000
+            us = rng.integers(0, AMAZON_N_USERS, m)
+            vs = rng.choice(AMAZON_ITEMS_PER_CAT, size=m, p=p)
+            aff = np.sum(u_lat[us] * (v_lat[vs] + tilt), axis=1) / np.sqrt(lat)
+            keep = rng.uniform(0, 1, m) < 1.0 / (1.0 + np.exp(-3.0 * (aff - 0.5)))
+            new = us[keep].astype(np.int64) * AMAZON_ITEMS_PER_CAT + vs[keep]
+            chosen = np.unique(np.concatenate([chosen, new]))
+        chosen = chosen[rng.permutation(chosen.shape[0])[:n_rows]]
+        path = osp.join(raw, cat.replace(" ", "_") + ".json.gz")
+        with gzip.open(path, "wt") as f:
+            for k in chosen:
+                u, v = int(k // AMAZON_ITEMS_PER_CAT), int(k % AMAZON_ITEMS_PER_CAT)
+                f.write(json.dumps({
+                    "reviewerID": f"u{u}",
+                    "asin": f"c{ci}-i{v}",
+                    "overall": 5.0,
+                }) + "\n")
+        log(f"amazon raw {cat}: {n_rows} reviews")
+    return raw
+
+
+def build_amazon_splits(raw):
+    from mamdr_tpu.data.etl import amazon
+
+    for name, n_cat in (("split_by_category_6", 6), ("split_by_category", 13)):
+        split_path = osp.join(ROOT, "dataset/Amazon", name)
+        if osp.exists(osp.join(split_path, f"domain_{n_cat-1}", "train.csv")):
+            continue
+        t0 = time.time()
+        amazon.split_to_domains(
+            {
+                "categories": CATS[:n_cat],
+                "raw_data_path": raw,
+                "split_save_path": split_path,
+                "processed_data_path": "processed_data",
+                "split_policy": "split_by_category",
+                "ctr_ratio": 0.5,
+                "random_range": True,
+                "ctr_ratio_range": [0.2, 0.5],
+                "train_val_test": [0.6, 0.2, 0.2],
+                "seed": 123,
+                "rebuild": False,
+                "cores": 1,
+            }
+        )
+        log(f"{name} built in {time.time()-t0:.0f}s")
+
+
+def build_taobao_splits():
+    from mamdr_tpu.data.etl import taobao
+
+    raw = osp.join(TB_ROOT, "raw")
+    if not osp.exists(osp.join(raw, "theme_click_log.csv")):
+        raise FileNotFoundError("run campaign_tb30 build first (shared raw)")
+    for name, n in (("split_by_theme_10", 10), ("split_by_theme_20", 20)):
+        split_path = osp.join(ROOT, "dataset/Taobao", name)
+        if osp.exists(osp.join(split_path, f"domain_{n-1}", "train.csv")):
+            continue
+        t0 = time.time()
+        taobao.split_to_domains(
+            {
+                "raw_data_path": raw,
+                "split_save_path": split_path,
+                "processed_data_path": "processed_data",
+                "theme_num": n,
+                "ctr_ratio": 0.3,
+                "random_range": True,
+                "ctr_ratio_range": [0.2, 0.5],
+                "train_val_test": [0.6, 0.2, 0.2],
+                "seed": 123,
+                "rebuild": False,
+            }
+        )
+        log(f"{name} built in {time.time()-t0:.0f}s")
+
+
+def load_dataset(bench):
+    from mamdr_tpu.config import DatasetConfig
+    from mamdr_tpu.data.dataset import MultiDomainDataset
+
+    name = "Amazon" if bench.startswith("Amazon") else "Taobao"
+    split = {
+        "Amazon_6": "split_by_category_6",
+        "Amazon_13": "split_by_category",
+        "Taobao-10": "split_by_theme_10",
+        "Taobao_20": "split_by_theme_20",
+    }[bench]
+    return MultiDomainDataset.from_disk(
+        DatasetConfig(
+            name=name, dataset_path=osp.join(ROOT, "dataset", name),
+            domain_split_path=split, batch_size=1024, seed=123,
+        )
+    )
+
+
+def run_variant(bench, model_name, dataset, results):
+    from mamdr_tpu.benchmarks import benchmark_config
+    from mamdr_tpu.strategies import build_strategy
+    from mamdr_tpu.train.trainer import Trainer
+
+    key = f"{bench}/{model_name}"
+    cfg = benchmark_config(bench, model_name)
+    cfg.train.epoch = EPOCH_CAP
+    cfg.train.patience = PATIENCE
+    cfg.train.checkpoint_path = osp.join(ROOT, "ckpt", bench)
+    cfg.train.result_save_path = osp.join(ROOT, "result", bench)
+    t0 = time.time()
+    entry = {}
+    try:
+        trainer = Trainer(cfg, dataset, verbose=False)
+        strat = build_strategy(trainer)
+        if strat.spec.strategy == "separate":
+            from mamdr_tpu.strategies.separate import separate_train_val_test
+
+            _, avg_auc, _, domain_auc = separate_train_val_test(
+                trainer, init_params=True
+            )
+        else:
+            strat.train()
+            _, avg_auc, _, domain_auc = strat.test()
+        entry["test"] = {
+            "avg_auc": avg_auc,
+            "weighted_auc": trainer.weighted_auc("test", domain_auc),
+            "domain_auc": domain_auc,
+        }
+        log(f"{key}: test AUC {avg_auc:.4f} "
+            f"(weighted {entry['test']['weighted_auc']:.4f})")
+        if strat.spec.finetune:
+            _, ft_auc, _, ft_domain = strat.finetune()
+            entry["finetune"] = {
+                "avg_auc": ft_auc,
+                "weighted_auc": trainer.weighted_auc("test", ft_domain),
+                "domain_auc": ft_domain,
+            }
+            log(f"{key}: finetune AUC {ft_auc:.4f}")
+        entry["seconds"] = round(time.time() - t0, 1)
+    except Exception as e:
+        import traceback
+
+        traceback.print_exc()
+        entry["error"] = f"{type(e).__name__}: {e}"
+        log(f"{key} FAILED: {entry['error']}")
+    results[key] = entry
+    with open(osp.join(ROOT, "results.json"), "w") as f:
+        json.dump(results, f, indent=2)
+    # Release this variant's HBM (param trees, device-resident data blocks,
+    # compiled executables + their captured constants) before the next one —
+    # an OOM would otherwise cascade into every later variant.
+    import gc
+
+    import jax as _jax
+
+    del entry
+    try:
+        del strat
+    except NameError:
+        pass
+    try:
+        del trainer
+    except NameError:
+        pass
+    gc.collect()
+    _jax.clear_caches()
+
+
+def main():
+    os.makedirs(ROOT, exist_ok=True)
+    build_amazon_splits(build_amazon_raw())
+    build_taobao_splits()
+    if "--build-only" in sys.argv:
+        log("datasets built; exiting (build-only)")
+        return
+
+    import jax
+
+    log(f"devices: {jax.devices()}")
+    results = {}
+    rp = osp.join(ROOT, "results.json")
+    if osp.exists(rp):
+        with open(rp) as f:
+            results = json.load(f)
+    for bench, variants in MATRIX.items():
+        dataset = None
+        for model_name in variants:
+            key = f"{bench}/{model_name}"
+            if key in results and "error" not in results[key]:
+                log(f"skip {key} (done)")
+                continue
+            if dataset is None:
+                t0 = time.time()
+                dataset = load_dataset(bench)
+                log(f"{bench}: {dataset.n_domain} domains loaded "
+                    f"in {time.time()-t0:.0f}s, "
+                    f"train sizes {[s.n for s in dataset.train]}")
+            run_variant(bench, model_name, dataset, results)
+    log("campaign complete")
+
+
+if __name__ == "__main__":
+    main()

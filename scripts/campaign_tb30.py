@@ -189,6 +189,24 @@ def run_variant(name, dataset, results):
     results[name] = entry
     with open(osp.join(ROOT, "results.json"), "w") as f:
         json.dump(results, f, indent=2)
+    # Release this variant's HBM (param trees, device-resident data blocks,
+    # compiled executables + their captured constants) before the next one —
+    # an OOM would otherwise cascade into every later variant.
+    import gc
+
+    import jax as _jax
+
+    del entry
+    try:
+        del strat
+    except NameError:
+        pass
+    try:
+        del trainer
+    except NameError:
+        pass
+    gc.collect()
+    _jax.clear_caches()
 
 
 def main():
