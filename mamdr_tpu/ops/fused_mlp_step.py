@@ -53,7 +53,10 @@ def _hash_keep(seed, shape, rate):
     x = x ^ (x >> 13)
     x = x * jnp.uint32(_MUL2)
     x = x ^ (x >> 16)
-    u = (x >> jnp.uint32(8)).astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))
+    # Mosaic can't cast uint32->f32 directly; the top-24-bit value fits in
+    # int32, so bitcast (value-preserving here) then convert.
+    top24 = jax.lax.bitcast_convert_type(x >> jnp.uint32(8), jnp.int32)
+    u = top24.astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))
     return u >= jnp.float32(rate)
 
 
@@ -168,11 +171,16 @@ def _fused_tower_grad(x, label, weight, seeds, dense_params, dims, rate,
         *[vmem() for _ in range(2 * n_layers + 1)],
     ]
     flops = 2 * b * sum(dims[i] * dims[i + 1] for i in range(n_layers)) * 3
+    # scalar loss lives in SMEM (Mosaic cannot store scalars to VMEM)
+    out_specs = (
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        *[vmem() for _ in out_shape[1:]],
+    )
     out = pl.pallas_call(
         _make_kernel(tuple(dims), rate),
         out_shape=out_shape,
         in_specs=in_specs,
-        out_specs=tuple(vmem() for _ in out_shape),
+        out_specs=out_specs,
         cost_estimate=pl.CostEstimate(
             flops=flops,
             bytes_accessed=4 * (2 * b * dims[0] + 2 * sum(

@@ -184,11 +184,10 @@ def make_subset_train_step(model, tx, cfg: StepConfig, frozen_mask, frozen_full)
     buffers (one copy for every vmap lane).
     """
     loss_fn = make_loss_fn(model, cfg)
+    # No Pallas fast path here: this step runs under vmap (one lane per
+    # domain) and pallas_call batching on the tower kernel is unexercised;
+    # autodiff vmaps trivially and the separate stage is not the hot path.
     fast = None
-    if cfg.fused_kernel:
-        from mamdr_tpu.ops.fused_mlp_step import maybe_make_fast_loss_grad
-
-        fast = maybe_make_fast_loss_grad(model, cfg)
 
     fz = frozen_mask
 
