@@ -125,8 +125,14 @@ def main():
         for leaf in leaves:
             float(leaf.sum())
 
-    log("warmup epoch (compiles fused DN+DR phases)...")
-    strat.prepare_fused()
+    # BENCH_PARALLEL_COMPILE=1 AOT-compiles the DN and DR graphs on two
+    # threads (VERDICT item 6 measurement hook; the remote compile service
+    # is believed to serialize — this flag lets us verify).
+    import os
+
+    parallel = os.environ.get("BENCH_PARALLEL_COMPILE", "") == "1"
+    log(f"warmup epoch (compiles fused DN+DR phases, parallel={parallel})...")
+    strat.prepare_fused(parallel_compile=parallel)
     t0 = time.time()
     strat.run_fused_epoch()
     sync()

@@ -1,0 +1,187 @@
+"""Render campaign results.json files into RESULTS.md.
+
+Collects campaign_tb30/results.json (full Taobao-30 matrix) and
+campaign_others/results.json (north-star rows for Amazon-6/13, Taobao-10/20),
+writes RESULTS.md with macro/weighted AUC tables, per-domain AUC for the
+headline strategies, and the paper-ordering checks
+(MAMDR >= DN >= joint; finetune lifts; arXiv:2202.12524 Tables 2-3 ordering).
+
+Run any time; skips sections whose inputs are missing.
+"""
+
+from __future__ import annotations
+
+import json
+import os.path as osp
+
+TB = "/root/repo/campaign_tb30/results.json"
+OTHERS = "/root/repo/campaign_others/results.json"
+OUT = "/root/repo/RESULTS.md"
+
+PRETTY = {
+    "mlp": "MLP (joint)",
+    "deepfm": "DeepFM (joint)",
+    "mmoe": "MMoE",
+    "ple": "PLE",
+    "star": "STAR (pn, star-dense)",
+    "mlp_separate": "MLP separate",
+    "mlp_uncertainty_weight": "MLP + UncertaintyWeight",
+    "mlp_pcgrad": "MLP + PCGrad",
+    "mlp_meta_reptile_finetune": "MLP + Reptile",
+    "mlp_meta_maml_finetune": "MLP + MAML",
+    "mlp_meta_mldg_finetune": "MLP + MLDG",
+    "mlp_meta_domain_negotiation_finetune": "MLP + DN",
+    "mlp_meta_mamdr_finetune": "MLP + MAMDR (DN+DR)",
+    "star_meta_mamdr_finetune": "STAR + MAMDR",
+}
+
+
+def load(path):
+    if not osp.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
+def row(name, entry):
+    label = PRETTY.get(name, name)
+    if "error" in entry and "test" not in entry:
+        return f"| {label} | FAILED | — | — | — |"
+    t = entry["test"]
+    ft = entry.get("finetune")
+    ft_a = f"{ft['avg_auc']:.4f}" if ft else "—"
+    ft_w = f"{ft['weighted_auc']:.4f}" if ft else "—"
+    return (
+        f"| {label} | {t['avg_auc']:.4f} | {t['weighted_auc']:.4f} "
+        f"| {ft_a} | {ft_w} |"
+    )
+
+
+def ordering_checks(r):
+    """The paper's qualitative claims, checked on our numbers."""
+    checks = []
+
+    def auc(name, stage="test"):
+        e = r.get(name, {})
+        if stage in e:
+            return e[stage]["avg_auc"]
+        return None
+
+    mamdr = auc("mlp_meta_mamdr_finetune")
+    mamdr_ft = auc("mlp_meta_mamdr_finetune", "finetune")
+    dn = auc("mlp_meta_domain_negotiation_finetune")
+    joint = auc("mlp")
+    sep = auc("mlp_separate")
+    for label, a, b in (
+        ("MAMDR > joint (paper Table 2: DN+DR beats Joined on every dataset)",
+         mamdr, joint),
+        ("MAMDR >= DN (DR on top of DN helps)", mamdr, dn),
+        ("DN > joint", dn, joint),
+        ("joint > separate (MDR transfers; per-domain training overfits "
+         "small domains)", joint, sep),
+    ):
+        if a is None or b is None:
+            continue
+        ok = "PASS" if a >= b else "FAIL"
+        checks.append(f"- **{ok}** {label}: {a:.4f} vs {b:.4f}")
+    if mamdr is not None and mamdr_ft is not None:
+        ok = "PASS" if mamdr_ft >= mamdr - 0.002 else "FAIL"
+        checks.append(
+            f"- **{ok}** finetune does not hurt MAMDR (merged weights are "
+            f"already per-domain): {mamdr_ft:.4f} vs {mamdr:.4f}"
+        )
+    meta_all = [auc(n) for n in (
+        "mlp_meta_reptile_finetune", "mlp_meta_maml_finetune",
+        "mlp_meta_mldg_finetune")]
+    if mamdr is not None and all(m is not None for m in meta_all):
+        ok = "PASS" if all(mamdr >= m for m in meta_all) else "FAIL"
+        checks.append(
+            f"- **{ok}** MAMDR beats generic meta baselines "
+            f"(Reptile/MAML/MLDG): {mamdr:.4f} vs "
+            + "/".join(f"{m:.4f}" for m in meta_all)
+        )
+    return checks
+
+
+def per_domain_table(r, names):
+    present = [n for n in names if "test" in r.get(n, {})]
+    if not present:
+        return []
+    domains = sorted(
+        r[present[0]]["test"]["domain_auc"], key=lambda s: int(s)
+    )
+    lines = ["| domain | " + " | ".join(PRETTY.get(n, n) for n in present) + " |",
+             "|---" * (len(present) + 1) + "|"]
+    for d in domains:
+        vals = " | ".join(
+            f"{r[n]['test']['domain_auc'][d]:.4f}" for n in present
+        )
+        lines.append(f"| {d} | {vals} |")
+    return lines
+
+
+def main():
+    lines = [
+        "# RESULTS — benchmark AUC reproduction (TPU v5e, 1 chip)",
+        "",
+        "Datasets are built at reference scale/statistics through the repo's",
+        "own ETL (per-user negative sampling at seeded ctr ratios ~U[0.2,0.5],",
+        "stratified 60/20/20, seed 123 — dataset/*/split.py recipe) from",
+        "synthesised raw inputs (zero-egress environment; latent-factor click",
+        "structure, long-tailed domain sizes, Taobao's frozen pretrained 128-d",
+        "embeddings carrying the signal). Hyperparameters are the reference",
+        "configs via mamdr_tpu.benchmarks (batch 1024, Adam 1e-3, meta-lr 0.1,",
+        "DR sample_num 5 + query, dropout 0.5, patience 3). Absolute AUCs are",
+        "therefore comparable across strategies within these datasets, and the",
+        "paper's ORDERING claims are the reproduction target (arXiv:2202.12524",
+        "Tables 2-3); paper-table absolute values require the proprietary raw",
+        "data.",
+        "",
+    ]
+
+    tb = load(TB)
+    if tb:
+        lines += [
+            "## Taobao-30 (30 domains, ~890k clicks / 3.8M examples, 197k "
+            "users, frozen pretrained embeddings) — full strategy matrix",
+            "",
+            "| model / strategy | test AUC (macro) | weighted | finetune AUC "
+            "| finetune weighted |",
+            "|---|---|---|---|---|",
+        ]
+        for name in tb:
+            lines.append(row(name, tb[name]))
+        lines += ["", "### Paper-ordering checks", ""]
+        lines += ordering_checks(tb)
+        lines += ["", "### Per-domain test AUC (headline strategies)", ""]
+        lines += per_domain_table(
+            tb, ["mlp", "mlp_meta_domain_negotiation_finetune",
+                 "mlp_meta_mamdr_finetune"]
+        )
+        lines.append("")
+
+    others = load(OTHERS)
+    if others:
+        by_bench = {}
+        for key, entry in others.items():
+            bench, name = key.split("/", 1)
+            by_bench.setdefault(bench, []).append((name, entry))
+        for bench, rows in by_bench.items():
+            lines += [
+                f"## {bench} (north-star rows)",
+                "",
+                "| model / strategy | test AUC (macro) | weighted | "
+                "finetune AUC | finetune weighted |",
+                "|---|---|---|---|---|",
+            ]
+            for name, entry in rows:
+                lines.append(row(name, entry))
+            lines.append("")
+
+    with open(OUT, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(f"wrote {OUT} ({len(lines)} lines)")
+
+
+if __name__ == "__main__":
+    main()
