@@ -152,3 +152,62 @@ def test_fused_step_counts_match_reference(tmp_path):
     assert int(t.state.step) - step0 == expected, (
         f"took {int(t.state.step) - step0} steps, reference takes {expected}"
     )
+
+
+def test_subset_train_step_matches_full(tmp_path):
+    """make_subset_train_step (frozen tables as shared closure constants,
+    scalar placeholders in the carried state) must produce the same params
+    and loss as the full train step."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mamdr_tpu.config import ExperimentConfig
+    from mamdr_tpu.data.synthetic import make_synthetic_dataset
+    from mamdr_tpu.train.steps import make_subset_train_step, make_train_step
+    from mamdr_tpu.train.trainer import Trainer
+    from mamdr_tpu.utils import trees
+
+    cfg = ExperimentConfig.from_dict(
+        {
+            "model": {"name": "mlp", "user_dim": 8, "item_dim": 8,
+                       "domain_dim": 8, "hidden_dim": [16, 8], "dropout": 0.0},
+            "train": {"emb_trainable": False, "metrics_jsonl": False},
+            "dataset": {"name": "synthetic", "batch_size": 64, "seed": 5},
+        }
+    )
+    cfg.train.checkpoint_path = str(tmp_path / "c")
+    cfg.train.result_save_path = str(tmp_path / "r")
+    ds = make_synthetic_dataset(n_domain=2, n_uid=30, n_pid=30,
+                                n_per_domain=300, seed=5, batch_size=64)
+    # pretend-pretrained frozen tables
+    rng = np.random.default_rng(0)
+    ds.user_emb = rng.normal(0, 0.1, (30, 8)).astype(np.float32)
+    ds.item_emb = rng.normal(0, 0.1, (30, 8)).astype(np.float32)
+    t = Trainer(cfg, ds, verbose=False)
+
+    frozen_mask = trees.named_tree_map(
+        lambda n, x: "user_emb" in n or "item_emb" in n, t.state.params
+    )
+    full_step, _ = make_train_step(t.model, t.tx, t.step_cfg)
+    sub_step, to_sub, combine = make_subset_train_step(
+        t.model, t.tx, t.step_cfg, frozen_mask, t.state.params
+    )
+
+    batch = {k: jnp.asarray(v[0]) for k, v in
+             __import__("mamdr_tpu.train.fused", fromlist=["x"]).stack_domains_on_device(
+                 ds.train, 64)[0].items()}
+    batch = {k: v[:64] for k, v in batch.items()}
+
+    s_full, loss_full = jax.jit(full_step)(t.state, batch)
+    sub_state = t.state.replace(params=to_sub(t.state.params))
+    s_sub, loss_sub = jax.jit(sub_step)(sub_state, batch)
+
+    np.testing.assert_allclose(float(loss_full), float(loss_sub), rtol=1e-6)
+    recombined = combine(s_sub.params)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s_full.params),
+        jax.tree_util.tree_leaves(recombined),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6,
+                                   atol=1e-8)
