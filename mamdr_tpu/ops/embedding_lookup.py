@@ -98,3 +98,57 @@ def pallas_gather_rows(table: jax.Array, ids: jax.Array) -> jax.Array:
         out_shape=jax.ShapeDtypeStruct((pad_b, d), table.dtype),
     )(ids_padded, table)
     return out[:b]
+
+
+def pallas_gather_rows_pipelined(
+    table: jax.Array, ids: jax.Array, k: int = 32, interpret: bool = False
+) -> jax.Array:
+    """Row gather as a ring of `k` outstanding HBM->VMEM DMAs.
+
+    Unlike `pallas_gather_rows` (8 DMAs in flight, one output tile per grid
+    step), this keeps the whole [B, D] output VMEM-resident in a single grid
+    step and pipelines the row DMAs `k` deep: wait(i) immediately re-issues
+    start(i+k) on the freed semaphore slot. Probes whether XLA's ~120ns/row
+    dynamic-gather wall is DMA-issue cost (this should match it) or gather-op
+    overhead (this should beat it).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, d = table.shape
+    b = ids.shape[0]
+    k = min(k, b)
+
+    def kernel(ids_ref, table_ref, out_ref, sems):
+        def copy(i, slot):
+            return pltpu.make_async_copy(
+                table_ref.at[ids_ref[i]], out_ref.at[i], sems.at[slot]
+            )
+
+        for j in range(k):
+            copy(j, j).start()
+
+        def body(i, carry):
+            slot = jax.lax.rem(i, k)
+            copy(i, slot).wait()
+            copy(i + k, slot).start()
+            return carry
+
+        jax.lax.fori_loop(0, b - k, body, 0)
+        for j in range(b - k, b):
+            copy(j, j % k).wait()
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(1,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec((b, d), lambda i, ids_ref=None: (0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.SemaphoreType.DMA((k,))],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, d), table.dtype),
+        interpret=interpret,
+    )(ids, table)
