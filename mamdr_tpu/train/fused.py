@@ -58,9 +58,10 @@ def stack_domains_on_device(
     return jax.device_put(cols), n_steps
 
 
-def _epoch_on_flat(train_step, state, flat, rng, n_steps: int, batch: int,
-                   cap_steps: int = 0, shuffle: bool = True):
-    """One shuffled epoch over a flat [N_pad] block, inside jit.
+def _form_batches(flat, rng, n_steps: int, batch: int,
+                  cap_steps: int = 0, shuffle: bool = True):
+    """Shuffled [steps, B] batches from a flat [N_pad] column block, formed
+    by ONE gather.
 
     The shuffle permutes only the REAL rows and keeps the weight-0 pad tail
     LAST (sort by random-key + pad-penalty): the domain then trains exactly
@@ -70,6 +71,14 @@ def _epoch_on_flat(train_step, state, flat, rng, n_steps: int, batch: int,
     much larger domain. (Scattering pad rows across batches instead would
     hand short domains extra full-magnitude Adam steps, since weighted_bce
     renormalises by the batch's real-row count.)
+
+    Formation cost: one `jnp.take` per column was ~5x the cost of a single
+    take (scripts/probe_epoch_cost.py — five takes were ~34us of a ~96us
+    fused step at bench shapes; the argsort itself is free). All 32-bit
+    columns are therefore packed into one [N_pad, C] int32 array (float
+    columns bitcast, bit-exact round trip) and gathered ONCE, which lands
+    within ~3us/step of the no-shuffle floor. The permutation is unchanged,
+    so batch contents are bit-identical to the per-column path.
     """
     n_pad = n_steps * batch
     if shuffle:
@@ -82,7 +91,40 @@ def _epoch_on_flat(train_step, state, flat, rng, n_steps: int, batch: int,
         perm = jnp.arange(n_pad)
     steps = n_steps if cap_steps <= 0 else min(cap_steps, n_steps)
     idx = perm[: steps * batch].reshape(steps, batch)
-    batches = {k: jnp.take(v, idx, axis=0) for k, v in flat.items()}
+    keys = sorted(flat)
+    packable = [k for k in keys if flat[k].dtype.itemsize == 4]
+    rest = [k for k in keys if k not in packable]
+    batches = {}
+    if packable:
+        packed = jnp.stack(
+            [
+                flat[k]
+                if flat[k].dtype == jnp.int32
+                else jax.lax.bitcast_convert_type(flat[k], jnp.int32)
+                for k in packable
+            ],
+            axis=1,
+        )
+        rows = jnp.take(packed, idx, axis=0)  # [steps, B, C]
+        for j, k in enumerate(packable):
+            r = rows[..., j]
+            batches[k] = (
+                r
+                if flat[k].dtype == jnp.int32
+                else jax.lax.bitcast_convert_type(r, flat[k].dtype)
+            )
+    for k in rest:  # non-32-bit columns (none today): per-column fallback
+        batches[k] = jnp.take(flat[k], idx, axis=0)
+    return batches
+
+
+def _epoch_on_flat(train_step, state, flat, rng, n_steps: int, batch: int,
+                   cap_steps: int = 0, shuffle: bool = True):
+    """One shuffled epoch over a flat [N_pad] block, inside jit.
+
+    Batch formation (pad-tail-last shuffle semantics): see _form_batches.
+    """
+    batches = _form_batches(flat, rng, n_steps, batch, cap_steps, shuffle)
     # keep the single-domain invariant for pad rows: domain col is constant
     state, losses = jax.lax.scan(train_step, state, batches)
     return state, jnp.mean(losses)
@@ -290,17 +332,7 @@ def _grad_epoch_on_flat(
     uncertainty log-var) gradients into the accumulator."""
     from mamdr_tpu.utils import trees as trees_mod
 
-    n_pad = n_steps * batch
-    if shuffle:
-        sort_key = jax.random.uniform(rng, (n_pad,)) + jnp.where(
-            flat["weight"] > 0.0, 0.0, 2.0
-        )
-        perm = jnp.argsort(sort_key)
-    else:
-        perm = jnp.arange(n_pad)
-    steps = n_steps if cap_steps <= 0 else min(cap_steps, n_steps)
-    idx = perm[: steps * batch].reshape(steps, batch)
-    batches = {k: jnp.take(v, idx, axis=0) for k, v in flat.items()}
+    batches = _form_batches(flat, rng, n_steps, batch, cap_steps, shuffle)
 
     def step(carry, b):
         acc, i = carry

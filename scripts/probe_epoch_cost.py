@@ -92,7 +92,7 @@ def main():
     ds.user_emb = rng.normal(0, 0.1, (N_UID, 128)).astype(np.float32)
     ds.item_emb = rng.normal(0, 0.1, (N_PID, 128)).astype(np.float32)
     trainer = Trainer(cfg, ds, verbose=False)
-    train_step = trainer.train_step_fn
+    train_step = trainer.train_step_fn()
 
     flat = {
         "uid": jnp.asarray(rng.integers(0, N_UID, (N_PAD,)), jnp.int32),

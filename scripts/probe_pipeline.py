@@ -23,7 +23,9 @@ import numpy as np
 
 sys.path.insert(0, "/root/repo")
 
-B, STEPS, NT, D = 1024, 256, 100_000, 128
+# STEPS must put device time well above the ~33ms tunnel RTT floor
+# (scripts/probe_gather.py lesson): 4096 steps x ~50us = ~200ms per dispatch.
+B, STEPS, NT, D = 1024, 4096, 100_000, 128
 HID = [(384, 256), (256, 128), (128, 64), (64, 1)]
 
 

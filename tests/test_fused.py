@@ -211,3 +211,49 @@ def test_subset_train_step_matches_full(tmp_path):
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6,
                                    atol=1e-8)
+
+
+def test_packed_formation_bit_identical():
+    """_form_batches (one packed [N,C] gather) must produce bit-identical
+    batches to the naive one-take-per-column formation it replaced — same
+    argsort permutation, float columns round-tripped through int32 bitcast.
+    Covers shuffle on/off and cap_steps truncation."""
+    from mamdr_tpu.train.fused import _form_batches
+
+    rng = np.random.default_rng(7)
+    n_steps, batch = 6, 32
+    n_pad = n_steps * batch
+    flat = {
+        "uid": jnp.asarray(rng.integers(0, 1000, (n_pad,)), jnp.int32),
+        "pid": jnp.asarray(rng.integers(0, 500, (n_pad,)), jnp.int32),
+        "domain": jnp.full((n_pad,), 3, jnp.int32),
+        # arbitrary (non-binary) floats: bitcast must be exact regardless
+        "label": jnp.asarray(rng.normal(size=(n_pad,)), jnp.float32),
+        "weight": jnp.asarray(
+            (np.arange(n_pad) < 150).astype(np.float32) * 1.37
+        ),
+    }
+
+    def naive(flat, key, cap_steps, shuffle):
+        if shuffle:
+            sort_key = jax.random.uniform(key, (n_pad,)) + jnp.where(
+                flat["weight"] > 0.0, 0.0, 2.0
+            )
+            perm = jnp.argsort(sort_key)
+        else:
+            perm = jnp.arange(n_pad)
+        steps = n_steps if cap_steps <= 0 else min(cap_steps, n_steps)
+        idx = perm[: steps * batch].reshape(steps, batch)
+        return {k: jnp.take(v, idx, axis=0) for k, v in flat.items()}
+
+    for shuffle in (True, False):
+        for cap in (0, 2):
+            key = jax.random.PRNGKey(42)
+            got = _form_batches(flat, key, n_steps, batch, cap, shuffle)
+            want = naive(flat, key, cap, shuffle)
+            assert sorted(got) == sorted(want)
+            for k in want:
+                assert got[k].dtype == want[k].dtype, k
+                np.testing.assert_array_equal(
+                    np.asarray(got[k]), np.asarray(want[k]), err_msg=k
+                )
