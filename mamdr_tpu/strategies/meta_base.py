@@ -99,8 +99,16 @@ class MetaStrategy(Strategy):
 
     def meta_finetune_val(self) -> Tuple[float, float, Dict, Dict]:
         """Finetune meta_finetune_step epochs per domain, then val
-        (reference maml.py:245-287); weights restored afterwards."""
+        (reference maml.py:245-287); weights restored afterwards.
+
+        The sequential form is D x (meta_finetune_step + 1) dispatches per
+        validation — a cliff on a tunneled/production TPU (~33ms each). When
+        the padding cost model allows, the domains (independent by
+        construction) run as one vmapped batch instead:
+        meta_finetune_step + 1 dispatches total."""
         t = self.trainer
+        if t.fused_padding_ok():
+            return self._meta_finetune_val_fused()
         base_state = t.state
         domain_loss, domain_auc = {}, {}
         for idx in range(self.n_domain):
@@ -110,6 +118,10 @@ class MetaStrategy(Strategy):
             l, a = t.evaluate_domain("val", idx, state.params, state.batch_stats)
             domain_loss[str(idx)] = l
             domain_auc[str(idx)] = a
+        return self._finish_meta_finetune_val(domain_loss, domain_auc)
+
+    def _finish_meta_finetune_val(self, domain_loss, domain_auc):
+        t = self.trainer
         avg_loss = sum(domain_loss.values()) / len(domain_loss)
         avg_auc = sum(domain_auc.values()) / len(domain_auc)
         if t.verbose:
@@ -117,6 +129,70 @@ class MetaStrategy(Strategy):
             print("AUC: ", domain_auc)
             print(f"Overall val Loss: {avg_loss}, AUC: {avg_auc}")
         return avg_loss, avg_auc, domain_loss, domain_auc
+
+    def _meta_finetune_val_fused(self) -> Tuple[float, float, Dict, Dict]:
+        """All domains finetune simultaneously from the current meta weights
+        (vmapped lanes, frozen tables shared via the subset step), then one
+        vmapped all-domain val eval. Matches the loop path's semantics: every
+        lane starts from t.state — params, batch_stats, optimizer slots (the
+        reference finetunes with the model's live Adam, maml.py:252), step
+        counter — and trains exactly meta_finetune_step epochs on its own
+        domain. Only the shuffle RNG stream differs (in-jit vs host)."""
+        import jax.numpy as jnp
+
+        from mamdr_tpu.train import fused as fused_mod
+        from mamdr_tpu.train.steps import make_subset_train_step
+        from mamdr_tpu.utils import trees as trees_mod
+
+        t = self.trainer
+        tc = self.tc
+        d = self.n_domain
+        if not hasattr(self, "_mfv_fns"):
+            frozen_mask = trees_mod.named_tree_map(
+                lambda n, x: (not tc.emb_trainable)
+                and ("user_emb" in n or "item_emb" in n),
+                t.state.params,
+            )
+            train_step, to_sub, combine = make_subset_train_step(
+                t.model, t.tx, t.step_cfg, frozen_mask, t.state.params
+            )
+
+            def loss_fn_sub(p, stats, batch, rng, train):
+                return t.loss_fn(combine(p), stats, batch, rng, train)
+
+            _, n_steps = t.train_block()
+            epoch_all, eval_all, _ = fused_mod.make_fused_separate(
+                train_step, loss_fn_sub, n_steps, t.dataset.batch_size
+            )
+            self._mfv_fns = (epoch_all, eval_all, to_sub)
+        epoch_all, eval_all, to_sub = self._mfv_fns
+
+        block, _ = t.train_block()
+        base = t.state
+        stack_d = lambda x: jnp.stack([jnp.asarray(x)] * d)
+        t.rng, sub = jax.random.split(t.rng)
+        states = base.replace(
+            params=jax.tree_util.tree_map(stack_d, to_sub(base.params)),
+            batch_stats=(
+                jax.tree_util.tree_map(stack_d, base.batch_stats)
+                if base.batch_stats
+                else {}
+            ),
+            opt_state=jax.tree_util.tree_map(stack_d, base.opt_state),
+            rng=jax.random.split(sub, d),
+            step=jnp.full((d,), base.step, jnp.int32),
+        )
+        for i in range(tc.meta_finetune_step):
+            states, _ = epoch_all(states, block, jax.random.fold_in(sub, i))
+        losses, aucs = eval_all(
+            states.params, states.batch_stats, t.eval_block("val")
+        )
+        import numpy as np
+
+        losses, aucs = np.asarray(losses), np.asarray(aucs)
+        domain_loss = {str(i): float(losses[i]) for i in range(d)}
+        domain_auc = {str(i): float(aucs[i]) for i in range(d)}
+        return self._finish_meta_finetune_val(domain_loss, domain_auc)
 
     def validate(self) -> Tuple[float, float, Dict, Dict]:
         if self.trainer.verbose:
