@@ -20,8 +20,10 @@ from mamdr_tpu.strategies.meta_base import MetaStrategy
 class DomainNegotiationStrategy(MetaStrategy):
     def train(self) -> None:
         t = self.trainer
-        # Fused: one dispatch per DN epoch for the common recipe.
-        if self.target_domain < 0 and t.fused_padding_ok():
+        # Fused: one dispatch per DN epoch for the common recipe. The inner
+        # pass is ragged (real steps only), so padding costs memory, not
+        # compute — the gate is only the block's HBM budget.
+        if self.target_domain < 0 and t.fused_padding_ok(ragged=True):
             self._train_fused()
             return
         self._train_loop()
@@ -36,6 +38,7 @@ class DomainNegotiationStrategy(MetaStrategy):
         dn_epoch = fused.make_fused_dn(
             t.train_step_fn(), self.mask, n_steps, t.dataset.batch_size,
             cap_steps=self.tc.meta_train_step,
+            steps_list=t.steps_per_domain(),
         )
         meta = t.state.params
         sequence = self.meta_sequence()

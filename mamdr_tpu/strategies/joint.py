@@ -23,13 +23,14 @@ from mamdr_tpu.strategies.base import Strategy
 class JointStrategy(Strategy):
     def train(self) -> None:
         t = self.trainer
-        use_fused = t.fused_padding_ok()
+        use_fused = t.fused_padding_ok(ragged=True)
         if use_fused:
             from mamdr_tpu.train import fused
 
             block, n_steps = t.train_block()
             sequential_pass = fused.make_fused_passes(
-                t.train_step_fn(), n_steps, t.dataset.batch_size
+                t.train_step_fn(), n_steps, t.dataset.batch_size,
+                steps_list=t.steps_per_domain(),
             )
 
         sequence = list(range(self.n_domain))

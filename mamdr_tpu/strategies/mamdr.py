@@ -86,7 +86,7 @@ class MAMDRStrategy(MetaStrategy):
             not self.spec.batch_update
             and not self.tc.finetune_every_epoch
             and self.target_domain < 0
-            and trainer.fused_padding_ok()
+            and trainer.fused_padding_ok(ragged=True)
         )
 
     # ---------------- eval plumbing ----------------
@@ -187,6 +187,7 @@ class MAMDRStrategy(MetaStrategy):
             n_steps,
             t.dataset.batch_size,
             self.tc.domain_regulation_step,
+            steps_list=t.steps_per_domain(),
         )
         self._spec_stack = fused.stack_specific(self.specific, self.mask)
         self._dn_compiled = self._dr_compiled = None

@@ -74,7 +74,7 @@ class MAMLStrategy(MetaStrategy):
         if (
             self.target_domain < 0
             and self.tc.average_meta_grad != "drop"
-            and t.fused_padding_ok()
+            and t.fused_padding_ok(ragged=True)
         ):
             self._train_fused()
             return
@@ -104,12 +104,15 @@ class MAMLStrategy(MetaStrategy):
         sup_block, n_steps_s = fused.stack_domains_on_device(
             supports, t.dataset.batch_size
         )
+        sup_steps = fused.domain_step_counts(supports, t.dataset.batch_size)
         if self.tc.meta_split == "train-train":
             q_block, n_steps_q = sup_block, n_steps_s
+            q_steps = sup_steps
         else:
             q_block, n_steps_q = fused.stack_domains_on_device(
                 queries, t.dataset.batch_size
             )
+            q_steps = fused.domain_step_counts(queries, t.dataset.batch_size)
         epoch_fn = fused.make_fused_maml(
             t.train_step_fn(), t.accum_grad_fn, self.mask, self.meta_tx,
             n_steps_s, n_steps_q, t.dataset.batch_size,
@@ -117,6 +120,8 @@ class MAMLStrategy(MetaStrategy):
             cap_steps=self.tc.meta_train_step,
             accumulate="ema" if self.tc.average_meta_grad == "moving_mean" else "sum",
             mldg=self._mldg,
+            steps_list_support=sup_steps,
+            steps_list_query=q_steps,
         )
         meta = t.state.params
         sequence = self.domain_sequence()

@@ -37,7 +37,7 @@ class PCGradStrategy(MAMLStrategy):
 
     def train(self) -> None:
         t = self.trainer
-        if self.target_domain < 0 and t.fused_padding_ok():
+        if self.target_domain < 0 and t.fused_padding_ok(ragged=True):
             self._train_fused()
             return
         self._train_loop()
@@ -54,6 +54,7 @@ class PCGradStrategy(MAMLStrategy):
         # train-train makes that the full train set.
         if self.tc.meta_split == "train-train":
             block, n_steps = t.train_block()
+            steps_list = t.steps_per_domain()
         else:
             supports = [
                 self.support_query(i)[0] for i in range(self.n_domain)
@@ -61,9 +62,13 @@ class PCGradStrategy(MAMLStrategy):
             block, n_steps = fused.stack_domains_on_device(
                 supports, t.dataset.batch_size
             )
+            steps_list = fused.domain_step_counts(
+                supports, t.dataset.batch_size
+            )
         epoch_fn = fused.make_fused_pcgrad(
             t.accum_grad_fn, self.mask, self.meta_tx, n_steps, t.dataset.batch_size,
             cap_steps=self.tc.meta_train_step, mode=self.tc.pcgrad_mode,
+            steps_list=steps_list,
         )
         sequence = self.domain_sequence()
         k = min(self.tc.sample_num, len(sequence) - 1)

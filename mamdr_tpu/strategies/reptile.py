@@ -16,7 +16,7 @@ from mamdr_tpu.utils import trees
 class ReptileStrategy(MetaStrategy):
     def train(self) -> None:
         t = self.trainer
-        if self.target_domain < 0 and t.fused_padding_ok():
+        if self.target_domain < 0 and t.fused_padding_ok(ragged=True):
             self._train_fused()
             return
         self._train_loop()
@@ -33,6 +33,7 @@ class ReptileStrategy(MetaStrategy):
         reptile_epoch = fused.make_fused_reptile(
             t.train_step_fn(), self.mask, n_steps, t.dataset.batch_size,
             batch_mode=self.spec.batch_update, cap_steps=self.tc.meta_train_step,
+            steps_list=t.steps_per_domain(),
         )
         meta = t.state.params
         sequence = self.domain_sequence()

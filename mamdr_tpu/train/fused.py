@@ -119,15 +119,127 @@ def _form_batches(flat, rng, n_steps: int, batch: int,
 
 
 def _epoch_on_flat(train_step, state, flat, rng, n_steps: int, batch: int,
-                   cap_steps: int = 0, shuffle: bool = True):
+                   cap_steps: int = 0, shuffle: bool = True, real_steps=None):
     """One shuffled epoch over a flat [N_pad] block, inside jit.
 
     Batch formation (pad-tail-last shuffle semantics): see _form_batches.
+
+    With `real_steps` (a traced per-domain step count), the step loop is a
+    dynamically-bounded fori_loop that runs ONLY the real batches instead of
+    scanning through the weight-0 pad tail. Bit-identical to the full scan —
+    real rows sort first and train_step no-ops pad batches without advancing
+    params/opt/step/rng — but skips the pad-step compute, which dominates on
+    long-tailed blocks where this domain is far smaller than the block's
+    global max (the scan length here must be static, so it pads to that max).
     """
     batches = _form_batches(flat, rng, n_steps, batch, cap_steps, shuffle)
-    # keep the single-domain invariant for pad rows: domain col is constant
+    if real_steps is None:
+        # keep the single-domain invariant for pad rows: domain col is constant
+        state, losses = jax.lax.scan(train_step, state, batches)
+        return state, jnp.mean(losses)
+    steps = n_steps if cap_steps <= 0 else min(cap_steps, n_steps)
+    bound = jnp.minimum(real_steps, steps)
+
+    def body(i, carry):
+        state, loss_sum = carry
+        b = jax.tree_util.tree_map(
+            lambda x: jax.lax.dynamic_index_in_dim(x, i, 0, keepdims=False),
+            batches,
+        )
+        state, loss = train_step(state, b)
+        return state, loss_sum + loss
+
+    state, loss_sum = jax.lax.fori_loop(0, bound, body, (state, jnp.zeros(())))
+    return state, loss_sum / jnp.maximum(bound.astype(jnp.float32), 1.0)
+
+
+def domain_step_counts(splits: List[DomainSplit], batch_size: int) -> List[int]:
+    """Static per-domain real step counts ceil(n_d / B)."""
+    return [-(-s.n // batch_size) for s in splits]
+
+
+def _ragged_batches(block, order, rngs, steps_of, total_steps: int, batch: int,
+                    shuffle: bool = True):
+    """[T, B] batches covering every domain in `order` with ZERO pad steps.
+
+    The padded sequential pass (scan domains x scan global-max steps) runs
+    `D * max_d ceil(n_d/B)` steps; on long-tailed datasets most are weight-0
+    no-ops (Amazon-13: ~3.7x waste). Because `train_step` advances neither
+    params, optimizer slots, `step`, nor therefore its fold_in(rng, step)
+    stream on an all-pad batch, DROPPING those steps is bit-identical — so
+    this flattens the pass into ONE scan over exactly
+    T = sum_d ceil(n_d/B) real steps.
+
+    Per-step domain ids come from `jnp.repeat(order, steps_of[order],
+    total_repeat_length=T)` (T is static: `order` is a permutation of all
+    domains, so the sum is order-invariant). Each position i in `order`
+    shuffles its domain's rows with rngs[i] — the SAME key the padded path's
+    `split(rng, D)[i]` gives that position — with the identical pad-tail-last
+    sort, so batch contents match the padded path bit-for-bit.
+
+    Returns (batches, pos) where pos[t] is the position in `order` of step
+    t's domain (for per-position loss segmentation).
+    """
+    d, n_pad = block["weight"].shape
+    w = jnp.take(block["weight"], order, axis=0)
+    if shuffle:
+        def perm1(r, wrow):
+            key = jax.random.uniform(r, (n_pad,)) + jnp.where(wrow > 0.0, 0.0, 2.0)
+            return jnp.argsort(key)
+
+        perms = jax.vmap(perm1)(rngs, w)  # [D, n_pad]
+    else:
+        perms = jnp.broadcast_to(jnp.arange(n_pad), (d, n_pad))
+    seg = jnp.take(steps_of, order)                       # [D] steps at position i
+    starts = jnp.cumsum(seg) - seg                        # [D]
+    pos = jnp.repeat(jnp.arange(d), seg, total_repeat_length=total_steps)
+    local = jnp.arange(total_steps) - jnp.take(starts, pos)  # step within domain
+    rows = perms[pos[:, None], local[:, None] * batch + jnp.arange(batch)[None, :]]
+    dom = jnp.take(order, pos)                            # [T]
+    gidx = dom[:, None] * n_pad + rows                    # [T, B] into flattened cols
+    keys = sorted(block)
+    packable = [k for k in keys if block[k].dtype.itemsize == 4]
+    rest = [k for k in keys if k not in packable]
+    batches = {}
+    if packable:
+        packed = jnp.stack(
+            [
+                block[k].reshape(-1)
+                if block[k].dtype == jnp.int32
+                else jax.lax.bitcast_convert_type(block[k].reshape(-1), jnp.int32)
+                for k in packable
+            ],
+            axis=1,
+        )
+        out = jnp.take(packed, gidx, axis=0)  # [T, B, C]
+        for j, k in enumerate(packable):
+            r = out[..., j]
+            batches[k] = (
+                r
+                if block[k].dtype == jnp.int32
+                else jax.lax.bitcast_convert_type(r, block[k].dtype)
+            )
+    for k in rest:
+        batches[k] = jnp.take(block[k].reshape(-1), gidx, axis=0)
+    return batches, pos
+
+
+def _ragged_pass(train_step, state, block, order, rng, steps_of,
+                 total_steps: int, batch: int, shuffle: bool = True):
+    """Sequential multi-domain pass (one epoch per domain in `order`, chained
+    without reset) as ONE scan over only the real steps. Bit-identical to the
+    padded domain-scan pass (see _ragged_batches). Returns (state, [D] losses
+    where losses[i] is the mean over the REAL steps of the domain at order
+    position i — the loop path's convention)."""
+    d = order.shape[0]
+    rngs = jax.random.split(rng, d)
+    batches, pos = _ragged_batches(
+        block, order, rngs, steps_of, total_steps, batch, shuffle
+    )
     state, losses = jax.lax.scan(train_step, state, batches)
-    return state, jnp.mean(losses)
+    seg = jnp.take(steps_of, order).astype(jnp.float32)
+    per_pos = jax.ops.segment_sum(losses, pos, num_segments=d) / jnp.maximum(seg, 1.0)
+    return state, per_pos
 
 
 def stack_domains_eval(
@@ -291,20 +403,34 @@ def stack_states(state: TrainState, n: int) -> TrainState:
     return stacked.replace(rng=jax.random.split(state.rng, n))
 
 
-def make_fused_passes(train_step, n_steps: int, batch: int):
-    """Jitted multi-domain passes over a device-resident [D, N_pad] block."""
+def _make_sequential_pass(train_step, n_steps: int, batch: int,
+                          steps_list=None, cap_steps: int = 0,
+                          shuffle: bool = True):
+    """Inner sequential pass: ragged single-scan when per-domain step counts
+    are provided (zero pad-step compute), padded domain-scan otherwise."""
+    if steps_list is not None:
+        capped = [
+            min(s, cap_steps) if cap_steps > 0 else s for s in steps_list
+        ]
+        total = int(sum(capped))
+        steps_of = jnp.asarray(capped, jnp.int32)
 
-    @jax.jit
-    def sequential_pass(state: TrainState, block, order, rng):
-        """Train one epoch on each domain in `order`, chained without reset
-        (DN inner loop / joint loop body). order: [D] int32."""
+        def seq(state, block, order, rng):
+            return _ragged_pass(
+                train_step, state, block, order, rng, steps_of, total, batch,
+                shuffle=shuffle,
+            )
 
+        return seq
+
+    def seq(state, block, order, rng):
         def body(carry, xs):
             state = carry
             dom_idx, r = xs
             flat = {k: v[dom_idx] for k, v in block.items()}
             state, loss = _epoch_on_flat(
-                train_step, state, flat, r, n_steps, batch
+                train_step, state, flat, r, n_steps, batch,
+                cap_steps=cap_steps, shuffle=shuffle,
             )
             return state, loss
 
@@ -312,12 +438,30 @@ def make_fused_passes(train_step, n_steps: int, batch: int):
         state, losses = jax.lax.scan(body, state, (order, rngs))
         return state, losses
 
+    return seq
+
+
+def make_fused_passes(train_step, n_steps: int, batch: int, steps_list=None):
+    """Jitted multi-domain passes over a device-resident [D, N_pad] block.
+
+    With `steps_list` (per-domain real step counts), the pass runs as ONE
+    ragged scan over sum(steps) steps instead of D x max(steps) — bit-identical
+    (pad steps are no-ops; see _ragged_batches) but free of padding waste."""
+    seq = _make_sequential_pass(train_step, n_steps, batch, steps_list)
+
+    @jax.jit
+    def sequential_pass(state: TrainState, block, order, rng):
+        """Train one epoch on each domain in `order`, chained without reset
+        (DN inner loop / joint loop body). order: [D] int32."""
+        return seq(state, block, order, rng)
+
     return sequential_pass
 
 
 def _grad_epoch_on_flat(
     grad_fn, params, batch_stats, flat, rng, n_steps: int, batch: int,
     acc, accumulate: str = "sum", cap_steps: int = 0, shuffle: bool = True,
+    real_steps=None,
 ):
     """Accumulate grads over a flat block at fixed params (inference mode,
     matching the reference's learning-phase-0 accumulate function).
@@ -334,8 +478,7 @@ def _grad_epoch_on_flat(
 
     batches = _form_batches(flat, rng, n_steps, batch, cap_steps, shuffle)
 
-    def step(carry, b):
-        acc, i = carry
+    def accum(acc, b, i):
         grads = grad_fn(params, batch_stats, b, jax.random.fold_in(rng, i))
         if accumulate == "ema":
             new_acc = jax.tree_util.tree_map(
@@ -344,13 +487,34 @@ def _grad_epoch_on_flat(
         else:
             new_acc = trees_mod.tree_add(acc, grads)
         has_data = jnp.sum(b["weight"]) > 0.0
-        acc = jax.tree_util.tree_map(
+        return jax.tree_util.tree_map(
             lambda n, o: jnp.where(has_data, n, o), new_acc, acc
         )
-        return (acc, i + 1), None
 
-    (acc, _), _ = jax.lax.scan(step, (acc, jnp.zeros((), jnp.int32)), batches)
-    return acc
+    if real_steps is None:
+        def step(carry, b):
+            acc, i = carry
+            return (accum(acc, b, i), i + 1), None
+
+        (acc, _), _ = jax.lax.scan(
+            step, (acc, jnp.zeros((), jnp.int32)), batches
+        )
+        return acc
+
+    # dynamically-bounded variant: run only this domain's real batches
+    # (bit-identical — pad batches are has_data-gated out of the accumulator
+    # and real rows sort first; see _epoch_on_flat)
+    steps = n_steps if cap_steps <= 0 else min(cap_steps, n_steps)
+    bound = jnp.minimum(real_steps, steps)
+
+    def body(i, acc):
+        b = jax.tree_util.tree_map(
+            lambda x: jax.lax.dynamic_index_in_dim(x, i, 0, keepdims=False),
+            batches,
+        )
+        return accum(acc, b, i)
+
+    return jax.lax.fori_loop(0, bound, body, acc)
 
 
 def make_fused_maml(
@@ -366,6 +530,8 @@ def make_fused_maml(
     accumulate: str = "sum",
     mldg: bool = False,
     shuffle: bool = True,
+    steps_list_support=None,
+    steps_list_query=None,
 ):
     """MAML or MLDG epoch as one dispatch.
 
@@ -381,6 +547,15 @@ def make_fused_maml(
     restore-and-apply.
     """
     from mamdr_tpu.utils import trees as trees_mod
+
+    sup_steps_of = (
+        None if steps_list_support is None
+        else jnp.asarray(steps_list_support, jnp.int32)
+    )
+    q_steps_of = (
+        None if steps_list_query is None
+        else jnp.asarray(steps_list_query, jnp.int32)
+    )
 
     def masked_scale(grads, scale):
         return jax.tree_util.tree_map(
@@ -405,21 +580,25 @@ def make_fused_maml(
             sup_flat = {k: v[dom_idx] for k, v in support_block.items()}
             q_flat = {k: v[dom_idx] for k, v in query_block.items()}
             state = state.replace(params=ops.load_masked(state.params, meta, mask))
+            sup_rs = None if sup_steps_of is None else sup_steps_of[dom_idx]
+            q_rs = None if q_steps_of is None else q_steps_of[dom_idx]
             if mldg:
                 acc = _grad_epoch_on_flat(
                     grad_fn, state.params, state.batch_stats, sup_flat, r_sup,
                     n_steps_support, batch, acc, accumulate, cap_steps, shuffle,
+                    real_steps=sup_rs,
                 )
                 adapted, meta_opt = apply_meta(state.params, meta_opt, acc)
                 state = state.replace(params=adapted)
             else:
                 state, _ = _epoch_on_flat(
                     train_step, state, sup_flat, r_sup, n_steps_support, batch,
-                    cap_steps=cap_steps, shuffle=shuffle,
+                    cap_steps=cap_steps, shuffle=shuffle, real_steps=sup_rs,
                 )
             acc = _grad_epoch_on_flat(
                 grad_fn, state.params, state.batch_stats, q_flat, r_q,
                 n_steps_query, batch, acc, accumulate, cap_steps, shuffle,
+                real_steps=q_rs,
             )
             if not batch_mode:
                 meta, meta_opt = apply_meta(meta, meta_opt, acc)
@@ -448,6 +627,7 @@ def make_fused_pcgrad(
     cap_steps: int = 0,
     mode: str = "reference",
     shuffle: bool = True,
+    steps_list=None,
 ):
     """PCGrad epoch as one dispatch (reference pcgrad.py:60-127).
 
@@ -462,6 +642,10 @@ def make_fused_pcgrad(
 
     from mamdr_tpu.utils import trees as trees_mod
 
+    steps_of = (
+        None if steps_list is None else jnp.asarray(steps_list, jnp.int32)
+    )
+
     @jax.jit
     def pcgrad_epoch(state: TrainState, meta_opt, block, order, aux, rng, grad_scale):
         def q_body(carry, xs):
@@ -473,6 +657,7 @@ def make_fused_pcgrad(
             qg = _grad_epoch_on_flat(
                 grad_fn, state.params, state.batch_stats, q_flat, r_q,
                 n_steps, batch, zero, "sum", cap_steps, shuffle,
+                real_steps=None if steps_of is None else steps_of[q],
             )
 
             def a_body(running, xs2):
@@ -482,6 +667,7 @@ def make_fused_pcgrad(
                     grad_fn, state.params, state.batch_stats, a_flat, r2,
                     n_steps, batch, trees_mod.tree_zeros_like(running), "sum", 0,
                     shuffle,
+                    real_steps=None if steps_of is None else steps_of[a_idx],
                 )
                 base = running if mode == "reference" else qg
                 proj = ops.pcgrad_project(base, ag, mode)
@@ -513,11 +699,15 @@ def make_fused_reptile(
     batch_mode: bool,
     cap_steps: int = 0,
     shuffle: bool = True,
+    steps_list=None,
 ):
     """Reptile epoch as one dispatch (reference reptile.py:44-90):
     per domain — load meta, capped inner epoch, then either immediate
     meta interpolation (non-batch) or delta accumulation with one scaled
     apply at epoch end ("batch")."""
+    steps_of = (
+        None if steps_list is None else jnp.asarray(steps_list, jnp.int32)
+    )
 
     @jax.jit
     def reptile_epoch(state: TrainState, meta, block, order, rng, meta_lr):
@@ -529,6 +719,7 @@ def make_fused_reptile(
             state, loss = _epoch_on_flat(
                 train_step, state, flat, r, n_steps, batch, cap_steps=cap_steps,
                 shuffle=shuffle,
+                real_steps=None if steps_of is None else steps_of[dom_idx],
             )
             if batch_mode:
                 acc = ops.delta_accumulate(acc, state.params, meta, mask)
@@ -558,27 +749,20 @@ def make_fused_dn(
     batch: int,
     cap_steps: int = 0,
     shuffle: bool = True,
+    steps_list=None,
 ):
     """Domain Negotiation epoch as one dispatch (domain_negotiation.py:49-88):
     load meta once, chain sequentially through `order` without reset, then
-    meta += (θ_final - meta)*meta_lr."""
+    meta += (θ_final - meta)*meta_lr. With `steps_list`, the inner pass is
+    the ragged zero-pad-compute scan (see _ragged_batches)."""
+    seq = _make_sequential_pass(
+        train_step, n_steps, batch, steps_list, cap_steps, shuffle
+    )
 
     @jax.jit
     def dn_epoch(state: TrainState, meta, block, order, rng, meta_lr):
         state = state.replace(params=ops.load_masked(state.params, meta, mask))
-
-        def body(carry, xs):
-            state = carry
-            dom_idx, r = xs
-            flat = {k: v[dom_idx] for k, v in block.items()}
-            state, loss = _epoch_on_flat(
-                train_step, state, flat, r, n_steps, batch, cap_steps=cap_steps,
-                shuffle=shuffle,
-            )
-            return state, loss
-
-        rngs = jax.random.split(rng, order.shape[0])
-        state, losses = jax.lax.scan(body, state, (order, rngs))
+        state, losses = seq(state, block, order, rng)
         meta = ops.reptile_update(meta, state.params, meta_lr, mask)
         state = state.replace(params=ops.load_masked(state.params, meta, mask))
         return state, meta, losses
@@ -594,6 +778,7 @@ def make_fused_mamdr(
     batch: int,
     domain_regulation_step: int = 0,
     shuffle: bool = True,
+    steps_list=None,
 ):
     """The full MAMDR epoch as two jitted calls (DN + DR).
 
@@ -610,22 +795,17 @@ def make_fused_mamdr(
     """
 
     merge = partial(ops.merge_weights, mask=mask, method=merged_method)
+    seq = _make_sequential_pass(
+        train_step, n_steps, batch, steps_list, shuffle=shuffle
+    )
+    steps_of = (
+        None if steps_list is None else jnp.asarray(steps_list, jnp.int32)
+    )
 
     @jax.jit
     def dn_phase(state: TrainState, shared, block, order, rng, meta_lr):
         state = state.replace(params=ops.load_masked(state.params, shared, mask))
-
-        def body(carry, xs):
-            state = carry
-            dom_idx, r = xs
-            flat = {k: v[dom_idx] for k, v in block.items()}
-            state, loss = _epoch_on_flat(
-                train_step, state, flat, r, n_steps, batch, shuffle=shuffle
-            )
-            return state, loss
-
-        rngs = jax.random.split(rng, order.shape[0])
-        state, losses = jax.lax.scan(body, state, (order, rngs))
+        state, losses = seq(state, block, order, rng)
         shared = ops.reptile_update(shared, state.params, meta_lr, mask)
         return state, shared, losses
 
@@ -657,10 +837,12 @@ def make_fused_mamdr(
                 state, _ = _epoch_on_flat(
                     train_step, state, sup_flat, r_sup, n_steps, batch,
                     shuffle=shuffle,
+                    real_steps=None if steps_of is None else steps_of[s_idx],
                 )
                 state, _ = _epoch_on_flat(
                     train_step, state, query_flat, r_q, n_steps, batch,
                     cap_steps=domain_regulation_step, shuffle=shuffle,
+                    real_steps=None if steps_of is None else steps_of[q],
                 )
                 spec_q = jax.tree_util.tree_map(
                     lambda m, sp, a, mg: sp + (a - mg) * meta_lr if m else sp,

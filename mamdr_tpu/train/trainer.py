@@ -205,24 +205,44 @@ class Trainer:
             )
         return self._train_block
 
+    def steps_per_domain(self):
+        """Static per-domain real step counts ceil(n_d / B) (ragged fused
+        execution: mamdr_tpu.train.fused._ragged_batches)."""
+        return [
+            -(-s.n // self.dataset.batch_size) for s in self.dataset.train
+        ]
+
     def fused_padding_ok(
-        self, max_waste_ratio: float = 4.0, steps_per_dispatch: float = 250.0
+        self,
+        max_waste_ratio: float = 4.0,
+        steps_per_dispatch: float = 250.0,
+        ragged: bool = False,
+        max_block_gb: float = 4.0,
     ) -> bool:
         """Fused passes pad every domain to the largest domain's step count.
 
-        Cost model: a padded (no-op) step costs ~100-150us of wasted compute
-        while each dispatch the fusion saves costs ~30ms on a tunneled /
-        production TPU — so padding pays for itself up to ~250 wasted steps
-        per saved dispatch. Fuse when EITHER the waste ratio is small or the
-        absolute waste stays under that break-even. fixed_train routes to the
-        loop path (fused epochs shuffle in-device; the reference knob demands
-        a stable batch order)."""
+        Cost model (padded scan): a padded (no-op) step costs ~100-150us of
+        wasted compute while each dispatch the fusion saves costs ~30ms on a
+        tunneled / production TPU — so padding pays for itself up to ~250
+        wasted steps per saved dispatch. Fuse when EITHER the waste ratio is
+        small or the absolute waste stays under that break-even.
+
+        `ragged=True` (strategies whose fused paths run only real steps —
+        dynamically-bounded epochs / the ragged flattened pass): padding
+        wastes MEMORY, not compute, so the only gate is the [D, N_pad] block
+        staying within a sane HBM budget.
+
+        fixed_train routes to the loop path (fused epochs shuffle in-device;
+        the reference knob demands a stable batch order)."""
         if getattr(self.dataset, "fixed_train", False):
             return False
         sizes = [s.n for s in self.dataset.train]
         steps = [-(-n // self.dataset.batch_size) for n in sizes]
         d = len(steps)
         total_padded = max(steps) * d
+        if ragged:
+            block_bytes = total_padded * self.dataset.batch_size * 5 * 4
+            return block_bytes <= max_block_gb * 2**30
         if total_padded <= max_waste_ratio * sum(steps):
             return True
         return (total_padded - sum(steps)) <= steps_per_dispatch * d

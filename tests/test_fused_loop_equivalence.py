@@ -289,3 +289,105 @@ def test_fused_mamdr_dr_equals_loop(tmp_path):
     for q in ORDER:
         assert_trees_close(s1.specific[q], spec2[q])
     assert_trees_close(t1.state.params, t2.state.params)
+
+def test_ragged_dn_equals_loop_dn(tmp_path):
+    # Same oracle as test_fused_dn_equals_loop_dn, but the fused pass is the
+    # RAGGED flattened scan (steps_list given): one scan over sum(steps) real
+    # steps instead of D x max(steps). Long-tail sizes make the step counts
+    # genuinely ragged (6/4/3).
+    t1, ds = make_trainer(tmp_path, 1, "mlp_meta_domain_negotiation")
+    s1 = DomainNegotiationStrategy(t1)
+    meta1 = t1.state.params
+    t1.state = t1.state.replace(params=s1.load_meta(t1.state.params, meta1))
+    for idx in ORDER:
+        t1.state, _ = t1.fit_domain(t1.state, idx)
+    meta1 = s1.reptile_step(meta1, t1.state.params, 0.1)
+
+    t2, _ = make_trainer(tmp_path, 2, "mlp_meta_domain_negotiation")
+    s2 = DomainNegotiationStrategy(t2)
+    block, n_steps = fused.stack_domains_on_device(ds.train, BATCH)
+    steps_list = fused.domain_step_counts(ds.train, BATCH)
+    assert len(set(steps_list)) > 1  # genuinely ragged
+    dn_epoch = fused.make_fused_dn(
+        t2.train_step_fn(), s2.mask, n_steps, BATCH, shuffle=False,
+        steps_list=steps_list,
+    )
+    meta2 = t2.state.params
+    t2.state, meta2, _ = dn_epoch(
+        t2.state, meta2, block, np.asarray(ORDER, np.int32),
+        jax.random.PRNGKey(0), 0.1,
+    )
+    assert_trees_close(meta1, meta2)
+
+
+def test_ragged_matches_padded_with_shuffle(tmp_path):
+    # The bit-identity claim behind the ragged pass: with shuffle ON and the
+    # SAME rng, the ragged scan visits the same batches in the same order as
+    # the padded domain-scan (pad steps are no-ops that advance nothing), so
+    # both paths produce the same parameters.
+    t1, ds = make_trainer(tmp_path, 1, "mlp_meta_domain_negotiation")
+    s1 = DomainNegotiationStrategy(t1)
+    block, n_steps = fused.stack_domains_on_device(ds.train, BATCH)
+    order = np.asarray([2, 0, 1], np.int32)
+    key = jax.random.PRNGKey(7)
+
+    dn_pad = fused.make_fused_dn(
+        t1.train_step_fn(), s1.mask, n_steps, BATCH, shuffle=True
+    )
+    meta_p = t1.state.params
+    state_p, meta_p, _ = dn_pad(t1.state, meta_p, block, order, key, 0.1)
+
+    t2, _ = make_trainer(tmp_path, 2, "mlp_meta_domain_negotiation")
+    s2 = DomainNegotiationStrategy(t2)
+    dn_rag = fused.make_fused_dn(
+        t2.train_step_fn(), s2.mask, n_steps, BATCH, shuffle=True,
+        steps_list=fused.domain_step_counts(ds.train, BATCH),
+    )
+    meta_r = t2.state.params
+    state_r, meta_r, _ = dn_rag(t2.state, meta_r, block, order, key, 0.1)
+
+    assert_trees_close(meta_p, meta_r)
+    assert_trees_close(state_p.params, state_r.params)
+    assert int(state_p.step) == int(state_r.step)
+
+
+def test_dynamic_dr_equals_loop(tmp_path):
+    # The DR phase with steps_list: support/query epochs run as dynamically
+    # bounded fori_loops (only the traced domain's real batches). Oracle =
+    # the same loop path as test_fused_mamdr_dr_equals_loop.
+    AUX = np.asarray([[1, 2, 0], [2, 0, 1], [0, 1, 2]], np.int32)
+    extra = {"specific_init": "zeros", "sample_num": 2, "add_query_domain": True}
+    t1, ds = make_trainer(tmp_path, 1, "mlp_meta_mamdr", extra)
+    s1 = MAMDRStrategy(t1)
+    shared1 = t1.state.params
+    for qi, q in enumerate(ORDER):
+        merged = s1.merge(shared1, s1.specific[q])
+        for a in AUX[qi]:
+            t1.state = t1.state.replace(
+                params=s1.load_meta(t1.state.params, merged)
+            )
+            t1.state, _ = t1.fit_domain(t1.state, int(a))
+            t1.state, _ = t1.fit_domain(t1.state, q, max_steps=0)
+            s1.specific[q] = s1.scaled_add_from(
+                s1.specific[q], t1.state.params, merged, 0.1
+            )
+            merged = s1.merge(shared1, s1.specific[q])
+
+    t2, _ = make_trainer(tmp_path, 2, "mlp_meta_mamdr", extra)
+    s2 = MAMDRStrategy(t2)
+    shared2 = t2.state.params
+    block, n_steps = fused.stack_domains_on_device(ds.train, BATCH)
+    _, dr_phase = fused.make_fused_mamdr(
+        t2.train_step_fn(), s2.mask, "plus", n_steps, BATCH,
+        domain_regulation_step=0, shuffle=False,
+        steps_list=fused.domain_step_counts(ds.train, BATCH),
+    )
+    spec_stack = fused.stack_specific(s2.specific, s2.mask)
+    t2.state, spec_stack = dr_phase(
+        t2.state, shared2, spec_stack, block, np.asarray(ORDER, np.int32),
+        AUX, jax.random.PRNGKey(0), 0.1,
+    )
+    spec2 = fused.unstack_specific(spec_stack, s2.mask, 3)
+    for q in ORDER:
+        assert_trees_close(s1.specific[q], spec2[q])
+    assert_trees_close(t1.state.params, t2.state.params)
