@@ -107,7 +107,10 @@ class MetaStrategy(Strategy):
         construction) run as one vmapped batch instead:
         meta_finetune_step + 1 dispatches total."""
         t = self.trainer
-        if t.fused_padding_ok():
+        # ragged gate: even with long-tail lane padding, the vmapped batch
+        # beats D x (meta_finetune_step+1) sequential dispatches at ~33ms
+        # each — the padded-lane compute waste is the smaller cost here
+        if t.fused_padding_ok(ragged=True):
             return self._meta_finetune_val_fused()
         base_state = t.state
         domain_loss, domain_auc = {}, {}

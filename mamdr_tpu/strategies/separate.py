@@ -43,7 +43,49 @@ def separate_train_val_test(
     t = trainer
     if t.fused_padding_ok():
         return _separate_fused(t, init_params, params_fn, max_finetune_epochs)
+    if t.fused_padding_ok(ragged=True):
+        # Long-tailed: a single vmap pads every lane to the global max step
+        # count (lanes run in lockstep, so unlike the ragged sequential
+        # passes the waste is real compute). Partition domains into
+        # step-count buckets and run the fused path once per bucket —
+        # domains are independent, so results are identical, and dispatches
+        # stay O(buckets x epochs) instead of the loop path's O(D x epochs).
+        return _separate_bucketed(t, init_params, params_fn, max_finetune_epochs)
     return _separate_loop(t, init_params, params_fn, max_finetune_epochs)
+
+
+def step_buckets(steps, max_ratio: float = 2.0):
+    """Greedy partition of domain indices by step count: descending sort,
+    open a new bucket when the bucket head exceeds max_ratio x this domain's
+    steps. Bounds per-lane padding waste by max_ratio while keeping the
+    bucket count (extra compiles + dispatches) small."""
+    order = sorted(range(len(steps)), key=lambda i: -steps[i])
+    buckets = []
+    for i in order:
+        if buckets and steps[buckets[-1][0]] <= max_ratio * steps[i]:
+            buckets[-1].append(i)
+        else:
+            buckets.append([i])
+    return buckets
+
+
+def _separate_bucketed(
+    trainer: Trainer,
+    init_params: bool,
+    params_fn,
+    max_finetune_epochs,
+):
+    steps = trainer.steps_per_domain()
+    domain_loss: Dict[str, float] = {}
+    domain_auc: Dict[str, float] = {}
+    for bucket in step_buckets(steps):
+        _, _, dl, da = _separate_fused(
+            trainer, init_params, params_fn, max_finetune_epochs,
+            domains=bucket,
+        )
+        domain_loss.update(dl)
+        domain_auc.update(da)
+    return trainer.summarize("test", domain_loss, domain_auc)
 
 
 def _separate_fused(
@@ -51,6 +93,7 @@ def _separate_fused(
     init_params: bool,
     params_fn,
     max_finetune_epochs,
+    domains=None,
 ):
     import jax
     import jax.numpy as jnp
@@ -62,7 +105,7 @@ def _separate_fused(
 
     t = trainer
     tc = t.config.train
-    d = t.dataset.n_domain
+    d = t.dataset.n_domain if domains is None else len(domains)
     tx = t.finetune_tx if not init_params else t.tx
     # Frozen pretrained tables are shared across the vmapped domain batch —
     # the carried/stacked state holds scalar placeholders for them (stacking
@@ -80,16 +123,27 @@ def _separate_fused(
         return t.loss_fn(combine(p), stats, batch, rng, train)
 
     block, n_steps = t.train_block()
+    if domains is not None:
+        # bucket subset: keep only these domains' lanes, truncated to the
+        # bucket's own max step count (real rows sit first in each lane)
+        steps_all = t.steps_per_domain()
+        n_steps = max(steps_all[i] for i in domains)
+        idx = np.asarray(domains, np.int32)
+        block = {
+            k: v[idx, : n_steps * t.dataset.batch_size]
+            for k, v in block.items()
+        }
     epoch_all, eval_all, select_best = fused.make_fused_separate(
         train_step, loss_fn_sub, n_steps, t.dataset.batch_size
     )
 
+    global_ids = list(range(d)) if domains is None else list(domains)
     # Per-domain starting params (same start, or params_fn merges).
     if params_fn is None:
         base_params = [to_sub(t.state.params)] * d
         base_stats = [t.state.batch_stats] * d
     else:
-        pairs = [params_fn(i) for i in range(d)]
+        pairs = [params_fn(i) for i in global_ids]
         base_params = [to_sub(p) for p, _ in pairs]
         base_stats = [s for _, s in pairs]
     params_stacked = jax.tree_util.tree_map(
@@ -111,6 +165,10 @@ def _separate_fused(
 
     val_block = t.eval_block("val")
     test_block = t.eval_block("test")
+    if domains is not None:
+        sel = jnp.asarray(domains, jnp.int32)
+        val_block = {k: v[sel] for k, v in val_block.items()}
+        test_block = {k: v[sel] for k, v in test_block.items()}
     best_params = states.params
     best_stats = states.batch_stats
     best_auc = np.full(d, -np.inf)
@@ -140,27 +198,34 @@ def _separate_fused(
 
     losses, aucs = eval_all(best_params, best_stats, test_block)
     losses, aucs = np.asarray(losses), np.asarray(aucs)
-    domain_loss = {str(i): float(losses[i]) for i in range(d)}
-    domain_auc = {str(i): float(aucs[i]) for i in range(d)}
+    domain_loss = {str(g): float(losses[i]) for i, g in enumerate(global_ids)}
+    domain_auc = {str(g): float(aucs[i]) for i, g in enumerate(global_ids)}
     if tc.domain_checkpoints:
         # artifacts hold the per-domain TRAINABLE leaves (frozen pretrained
         # tables are immutable and live in model_parameters.npz)
         _save_domain_checkpoints(
-            t, lambda i: jax.tree_util.tree_map(lambda x: x[i], best_params)
+            t,
+            lambda i: jax.tree_util.tree_map(lambda x: x[i], best_params),
+            global_ids,
         )
+    if domains is not None:
+        return 0.0, 0.0, domain_loss, domain_auc
     return t.summarize("test", domain_loss, domain_auc)
 
 
-def _save_domain_checkpoints(trainer, params_for):
+def _save_domain_checkpoints(trainer, params_for, global_ids=None):
     """Per-domain best-weights artifacts, the reference ModelCheckpoint
-    layout (base_model.py:77-90: checkpoint_dir/domain_{idx}.h5 -> .npz)."""
+    layout (base_model.py:77-90: checkpoint_dir/domain_{idx}.h5 -> .npz).
+    params_for takes the LOCAL (stacked-lane) index; global_ids maps it to
+    the domain id in the filename."""
     import os.path as osp
 
     from mamdr_tpu.train import checkpoints
 
-    for i in range(trainer.dataset.n_domain):
+    ids = global_ids or list(range(trainer.dataset.n_domain))
+    for i, g in enumerate(ids):
         checkpoints.save_pytree(
-            osp.join(trainer.checkpoint_dir, f"domain_{i}.npz"), params_for(i)
+            osp.join(trainer.checkpoint_dir, f"domain_{g}.npz"), params_for(i)
         )
 
 

@@ -403,11 +403,27 @@ def stack_states(state: TrainState, n: int) -> TrainState:
     return stacked.replace(rng=jax.random.split(state.rng, n))
 
 
+def _effective_steps_list(steps_list, n_steps: int, cap_steps: int = 0):
+    """Drop the per-domain step list when it buys nothing: on balanced
+    blocks (every domain at the global max), ragged/dynamic execution runs
+    exactly the padded schedule but compiles measurably slower (the
+    dynamically-bounded fori_loop DR graph: 412s vs 181s through the remote
+    compile service at bench shapes). Returns None in that case."""
+    if steps_list is None:
+        return None
+    full = n_steps if cap_steps <= 0 else min(cap_steps, n_steps)
+    capped = [min(s, cap_steps) if cap_steps > 0 else s for s in steps_list]
+    if all(s == full for s in capped):
+        return None
+    return steps_list
+
+
 def _make_sequential_pass(train_step, n_steps: int, batch: int,
                           steps_list=None, cap_steps: int = 0,
                           shuffle: bool = True):
     """Inner sequential pass: ragged single-scan when per-domain step counts
     are provided (zero pad-step compute), padded domain-scan otherwise."""
+    steps_list = _effective_steps_list(steps_list, n_steps, cap_steps)
     if steps_list is not None:
         capped = [
             min(s, cap_steps) if cap_steps > 0 else s for s in steps_list
@@ -548,6 +564,12 @@ def make_fused_maml(
     """
     from mamdr_tpu.utils import trees as trees_mod
 
+    steps_list_support = _effective_steps_list(
+        steps_list_support, n_steps_support, cap_steps
+    )
+    steps_list_query = _effective_steps_list(
+        steps_list_query, n_steps_query, cap_steps
+    )
     sup_steps_of = (
         None if steps_list_support is None
         else jnp.asarray(steps_list_support, jnp.int32)
@@ -642,6 +664,7 @@ def make_fused_pcgrad(
 
     from mamdr_tpu.utils import trees as trees_mod
 
+    steps_list = _effective_steps_list(steps_list, n_steps)
     steps_of = (
         None if steps_list is None else jnp.asarray(steps_list, jnp.int32)
     )
@@ -705,6 +728,7 @@ def make_fused_reptile(
     per domain — load meta, capped inner epoch, then either immediate
     meta interpolation (non-batch) or delta accumulation with one scaled
     apply at epoch end ("batch")."""
+    steps_list = _effective_steps_list(steps_list, n_steps, cap_steps)
     steps_of = (
         None if steps_list is None else jnp.asarray(steps_list, jnp.int32)
     )
@@ -798,6 +822,10 @@ def make_fused_mamdr(
     seq = _make_sequential_pass(
         train_step, n_steps, batch, steps_list, shuffle=shuffle
     )
+    # balanced blocks: dynamic bounds buy nothing for either the support
+    # (full) or capped query epochs — drop them for the faster-compiling
+    # static graph (_effective_steps_list)
+    steps_list = _effective_steps_list(steps_list, n_steps)
     steps_of = (
         None if steps_list is None else jnp.asarray(steps_list, jnp.int32)
     )
