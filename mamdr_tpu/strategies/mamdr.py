@@ -112,11 +112,14 @@ class MAMDRStrategy(MetaStrategy):
 
         t = self.trainer
         if not hasattr(self, "_eval_merged"):
-            self._eval_merged = fused.make_fused_eval_merged(
-                t.loss_fn, self.mask, self.tc.merged_method
+            self._eval_merged = {}
+        if mode not in self._eval_merged:
+            self._eval_merged[mode] = fused.make_fused_eval_merged(
+                t.loss_fn, self.mask, self.tc.merged_method,
+                steps_list=t.eval_steps_per_domain(mode),
             )
         spec_stack = fused.stack_specific(specific_list, self.mask)
-        losses, aucs = self._eval_merged(
+        losses, aucs = self._eval_merged[mode](
             t.state.params, t.state.batch_stats, shared, spec_stack,
             t.eval_block(mode),
         )

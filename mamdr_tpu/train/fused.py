@@ -275,14 +275,82 @@ def _make_eval_step(loss_fn, num_thresholds: int):
     return init, step
 
 
-def make_fused_eval(loss_fn, num_thresholds: int = 500):
+def _ragged_eval_schedule(steps_list):
+    """Static flattened eval schedule: ([T] domain ids, [T] within-domain
+    step indices). Eval order is deterministic (no shuffle), so unlike the
+    train pass the whole schedule is a host-side constant."""
+    steps_arr = np.asarray(steps_list, np.int64)
+    dom = np.repeat(np.arange(len(steps_list)), steps_arr).astype(np.int32)
+    local = np.concatenate(
+        [np.arange(s) for s in steps_arr] or [np.zeros(0)]
+    ).astype(np.int32)
+    return dom, local
+
+
+def _make_ragged_eval(eval_step, init, num_thresholds, steps_list, params_for):
+    """Flattened eval scan over only the real batches of every domain.
+
+    The padded [D, S, B] eval scan runs S = max_d steps per domain; on
+    long-tailed datasets most are weight-0 no-ops. auc_update is purely
+    additive (confusion-count sums), so per-batch deltas scatter-add into a
+    [D]-row accumulator instead: ONE scan over sum_d ceil(n_d/B) steps.
+    `params_for(d)` supplies the (possibly per-domain merged) eval params.
+    """
+    from mamdr_tpu.metrics.auc import auc_result
+
+    dom_np, local_np = _ragged_eval_schedule(steps_list)
+    d_count = len(steps_list)
+
+    def eval_all_ragged(params_ctx, batch_stats, block):
+        s = jax.tree_util.tree_leaves(block)[0].shape[1]
+        flat_idx = jnp.asarray(dom_np) * s + jnp.asarray(local_np)
+        batches = {
+            k: jnp.take(v.reshape((-1,) + v.shape[2:]), flat_idx, axis=0)
+            for k, v in block.items()
+        }
+        auc0, l0, n0 = init()
+        acc0 = (
+            jax.tree_util.tree_map(
+                lambda z: jnp.zeros((d_count,) + z.shape, z.dtype), auc0
+            ),
+            jnp.zeros((d_count,)),
+            jnp.zeros((d_count,)),
+        )
+
+        def body(carry, xs):
+            b, d = xs
+            da, dl, dn = eval_step(
+                init(), b, params_for(params_ctx, d), batch_stats
+            )
+            auc_acc, loss_acc, n_acc = carry
+            auc_acc = jax.tree_util.tree_map(
+                lambda acc, x: acc.at[d].add(x), auc_acc, da
+            )
+            return (auc_acc, loss_acc.at[d].add(dl), n_acc.at[d].add(dn)), None
+
+        (auc_acc, loss_acc, n_acc), _ = jax.lax.scan(
+            body, acc0, (batches, jnp.asarray(dom_np))
+        )
+        return loss_acc / jnp.maximum(n_acc, 1.0), jax.vmap(auc_result)(auc_acc)
+
+    return eval_all_ragged
+
+
+def make_fused_eval(loss_fn, num_thresholds: int = 500, steps_list=None):
     """One dispatch evaluating EVERY domain: scan domains, inner scan batches
     accumulating the 500-threshold confusion counts. Returns ([D] losses,
     [D] aucs). Replaces the reference's per-domain model.evaluate loop
-    (base_model.py:130-136)."""
+    (base_model.py:130-136). With a non-uniform `steps_list` the scan is
+    ragged — only real batches run (see _make_ragged_eval)."""
     from mamdr_tpu.metrics.auc import auc_result
 
     init, eval_step = _make_eval_step(loss_fn, num_thresholds)
+    if steps_list is not None and len(set(steps_list)) > 1:
+        ragged = _make_ragged_eval(
+            eval_step, init, num_thresholds, steps_list,
+            lambda params, d: params,
+        )
+        return jax.jit(ragged)
 
     @jax.jit
     def eval_all(params, batch_stats, block):
@@ -300,15 +368,36 @@ def make_fused_eval(loss_fn, num_thresholds: int = 500):
 
 
 def make_fused_eval_merged(
-    loss_fn, mask: Pytree, merged_method: str, num_thresholds: int = 500
+    loss_fn, mask: Pytree, merged_method: str, num_thresholds: int = 500,
+    steps_list=None,
 ):
     """Fused eval with per-domain merged weights (MAMDR/SpecificBase
     semantics, specific_base_model.py:64-97): domain d evaluates
-    load(params, merge(shared, specific[d]))."""
+    load(params, merge(shared, specific[d])). Non-uniform `steps_list`:
+    ragged scan over only the real batches, with the merge/load done
+    per step (cheap: masked leaves are the tower, not the tables)."""
     from mamdr_tpu.metrics.auc import auc_result
 
     merge = partial(ops.merge_weights, mask=mask, method=merged_method)
     init, eval_step = _make_eval_step(loss_fn, num_thresholds)
+
+    if steps_list is not None and len(set(steps_list)) > 1:
+        def params_for(ctx, d):
+            params, shared, specific_stack = ctx
+            spec_d = jax.tree_util.tree_map(
+                lambda m, s: s[d] if m else s, mask, specific_stack
+            )
+            return ops.load_masked(params, merge(shared, spec_d), mask)
+
+        ragged = _make_ragged_eval(
+            eval_step, init, num_thresholds, steps_list, params_for
+        )
+
+        @jax.jit
+        def eval_all_r(params, batch_stats, shared, specific_stack, block):
+            return ragged((params, shared, specific_stack), batch_stats, block)
+
+        return eval_all_r
 
     @jax.jit
     def eval_all(params, batch_stats, shared, specific_stack, block):

@@ -159,14 +159,13 @@ class Trainer:
         self.stopper = EarlyStopper(tc.patience)
         self.best_params = None  # on-device mirror of the best checkpoint
 
-        from mamdr_tpu.train.fused import make_fused_eval
         from mamdr_tpu.train.steps import make_accum_grad_fn, make_loss_fn
 
         self.loss_fn = make_loss_fn(self.model, self.step_cfg)
         # grads-at-fixed-params for the meta accumulation paths (fused
         # kernel when eligible, autodiff otherwise)
         self.accum_grad_fn = make_accum_grad_fn(self.model, self.step_cfg)
-        self._fused_eval = make_fused_eval(self.loss_fn, 500)
+        self._fused_eval_fns: Dict[str, Callable] = {}
         self._train_block = None
 
         ts = time.strftime("%Y%m%d-%H%M%S")
@@ -324,6 +323,21 @@ class Trainer:
             )
         return self._eval_cache[key]
 
+    def eval_steps_per_domain(self, mode: str):
+        """Static per-domain real eval step counts (ragged fused eval)."""
+        splits = {"val": self.dataset.val, "test": self.dataset.test}[mode]
+        return [-(-s.n // self.dataset.batch_size) for s in splits]
+
+    def fused_eval_fn(self, mode: str):
+        """Per-mode fused all-domain eval (ragged on long-tailed splits)."""
+        if mode not in self._fused_eval_fns:
+            from mamdr_tpu.train.fused import make_fused_eval
+
+            self._fused_eval_fns[mode] = make_fused_eval(
+                self.loss_fn, 500, steps_list=self.eval_steps_per_domain(mode)
+            )
+        return self._fused_eval_fns[mode]
+
     # ---------------- fit / eval ----------------
 
     def fit_domain(
@@ -365,7 +379,7 @@ class Trainer:
             raise ValueError(f"mode must be val or test, not {mode!r}")
         if params_fn is None:
             # fused fast path: all domains in one dispatch
-            losses, aucs = self._fused_eval(
+            losses, aucs = self.fused_eval_fn(mode)(
                 params if params is not None else self.state.params,
                 self.state.batch_stats,
                 self.eval_block(mode),

@@ -49,11 +49,10 @@ def test_mesh_trainer_matches_single_device(tmp_path):
     set_lookup_mesh(mesh, min_rows=16)  # force the sharded path at test sizes
     # re-derive fns so the jits trace with the sharded lookup active
     from mamdr_tpu.train.steps import build_train_fns, make_loss_fn
-    from mamdr_tpu.train.fused import make_fused_eval
 
     t1.fns = build_train_fns(t1.model, t1.tx, t1.step_cfg)
     t1.loss_fn = make_loss_fn(t1.model, t1.step_cfg)
-    t1._fused_eval = make_fused_eval(t1.loss_fn, 500)
+    t1._fused_eval_fns = {}  # re-derive evals with the sharded lookup active
 
     t1.state, loss1 = t1.fit_domain(t1.state, 0)
     l1, a1 = t1.evaluate_domain("val", 0, t1.state.params, t1.state.batch_stats)
