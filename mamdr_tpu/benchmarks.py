@@ -22,35 +22,44 @@ from typing import Dict, List
 from mamdr_tpu.config import ExperimentConfig
 
 BENCHMARK_DATASETS: Dict[str, Dict] = {
+    # sample_num is benchmark-specific in the reference DN+DR configs:
+    # Amazon_6/deepctr_DN+DR.json: 3; Taobao_20/deepctr_DN+DR.json: 19
+    # (= all other domains); Amazon_13/Taobao-10/Taobao_30: 5. The configs'
+    # `domain_meta_learning_rate` is dead (never read by any model_zoo file).
     "Amazon_6": {
         "name": "Amazon",
         "dataset_path": "dataset/Amazon",
         "domain_split_path": "split_by_category_6",
         "pretrain": False,
+        "sample_num": 3,
     },
     "Amazon_13": {
         "name": "Amazon",
         "dataset_path": "dataset/Amazon",
         "domain_split_path": "split_by_category",
         "pretrain": False,
+        "sample_num": 5,
     },
     "Taobao-10": {
         "name": "Taobao",
         "dataset_path": "dataset/Taobao",
         "domain_split_path": "split_by_theme_10",
         "pretrain": True,
+        "sample_num": 5,
     },
     "Taobao_20": {
         "name": "Taobao",
         "dataset_path": "dataset/Taobao",
         "domain_split_path": "split_by_theme_20",
         "pretrain": True,
+        "sample_num": 19,
     },
     "Taobao_30": {
         "name": "Taobao",
         "dataset_path": "dataset/Taobao",
         "domain_split_path": "split_by_theme_30",
         "pretrain": True,
+        "sample_num": 5,
     },
 }
 
@@ -84,8 +93,12 @@ def _train_block(bench: Dict, model_name: str) -> Dict:
         "optimizer": "adam",
         "loss": "binary_crossentropy",
     }
-    if any(s in model_name for s in ("shared_bottom", "mmoe", "ple", "mldg")):
+    if any(s in model_name for s in ("mmoe", "ple", "mldg")):
         t["learning_rate"] = 1e-4
+    if "shared_bottom" in model_name:
+        # shared_bottom lr is 1e-3 on Amazon, 1e-4 on Taobao
+        # (config/Amazon_6/shared_bottom.json vs config/Taobao-10/shared_bottom.json)
+        t["learning_rate"] = 1e-3 if not bench["pretrain"] else 1e-4
     if "meta" in model_name or "pcgrad" in model_name:
         if any(s in model_name for s in ("reptile", "domain_negotiation", "mamdr")):
             t["meta_learning_rate"] = 0.1
@@ -94,7 +107,7 @@ def _train_block(bench: Dict, model_name: str) -> Dict:
         t.update(
             {
                 "merged_method": "plus",
-                "sample_num": 5,
+                "sample_num": bench.get("sample_num", 5),
                 "add_query_domain": True,
                 "finetune_every_epoch": False,
                 "shuffle_sequence": True,
@@ -125,7 +138,40 @@ def _train_block(bench: Dict, model_name: str) -> Dict:
     return t
 
 
-def _model_block(model_name: str) -> Dict:
+# Per-benchmark MTL architecture blocks, verbatim from the reference configs
+# (config/<bench>/{mmoe,ple,shared_bottom}.json). Keys: hidden_dim,
+# tower_hidden_dim, and the expert counts; gate_dnn_hidden_units=[64] and
+# num_levels=1 everywhere.
+_MTL_BLOCKS: Dict[str, Dict[str, Dict]] = {
+    "Amazon_6": {
+        "mmoe": {"hidden_dim": [256, 128], "tower_hidden_dim": [64], "num_experts": 5},
+        "ple": {"hidden_dim": [512, 256], "tower_hidden_dim": [64],
+                "specific_expert_num": 5, "shared_expert_num": 2},
+        "shared_bottom": {"hidden_dim": [256, 128], "tower_hidden_dim": [64]},
+    },
+    "Taobao-10": {
+        "mmoe": {"hidden_dim": [512, 256, 128], "tower_hidden_dim": [64], "num_experts": 2},
+        "ple": {"hidden_dim": [256], "tower_hidden_dim": [64],
+                "specific_expert_num": 10, "shared_expert_num": 2},
+        "shared_bottom": {"hidden_dim": [512, 256, 128], "tower_hidden_dim": [64]},
+    },
+    "Taobao_20": {
+        "mmoe": {"hidden_dim": [512, 256], "tower_hidden_dim": [128], "num_experts": 2},
+        "ple": {"hidden_dim": [256], "tower_hidden_dim": [64],
+                "specific_expert_num": 15, "shared_expert_num": 2},
+        "shared_bottom": {"hidden_dim": [512, 256], "tower_hidden_dim": [128]},
+    },
+    "Taobao_30": {
+        "mmoe": {"hidden_dim": [512, 256], "tower_hidden_dim": [128], "num_experts": 2},
+        "ple": {"hidden_dim": [512, 256], "tower_hidden_dim": [64],
+                "specific_expert_num": 3, "shared_expert_num": 2},
+        "shared_bottom": {"hidden_dim": [512, 256], "tower_hidden_dim": [128]},
+    },
+}
+_MTL_BLOCKS["Amazon_13"] = _MTL_BLOCKS["Amazon_6"]
+
+
+def _model_block(model_name: str, bench_name: str) -> Dict:
     m: Dict = {
         "name": model_name,
         "norm": "none",
@@ -138,9 +184,11 @@ def _model_block(model_name: str) -> Dict:
         "hidden_dim": [256, 128, 64],
         "dropout": 0.5,
     }
-    if any(s in model_name for s in ("shared_bottom", "mmoe", "ple")):
-        m["hidden_dim"] = [512, 256, 128]
-        m["tower_hidden_dim"] = [64]
+    for mtl in ("shared_bottom", "mmoe", "ple"):
+        if mtl in model_name:
+            m.update(_MTL_BLOCKS[bench_name][mtl])
+            m["gate_dnn_hidden_units"] = [64]
+            m["num_levels"] = 1
     if "star" in model_name:
         m["norm"] = "pn"
         m["dense"] = "star"
@@ -158,7 +206,7 @@ def benchmark_config(bench: str, model_name: str) -> ExperimentConfig:
     b = BENCHMARK_DATASETS[bench]
     return ExperimentConfig.from_dict(
         {
-            "model": _model_block(model_name),
+            "model": _model_block(model_name, bench),
             "train": _train_block(b, model_name),
             "dataset": {
                 "name": b["name"],

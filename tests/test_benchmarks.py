@@ -27,8 +27,24 @@ def test_reference_hparams():
 
     cfg = benchmark_config("Amazon_6", "mmoe")
     assert cfg.train.learning_rate == 1e-4
-    assert cfg.model.hidden_dim == [512, 256, 128]
+    assert cfg.model.hidden_dim == [256, 128] and cfg.model.num_experts == 5
     assert not cfg.train.load_pretrain_emb and cfg.train.emb_trainable
+
+    # benchmark-specific DN+DR sample_num (config/<bench>/deepctr_DN+DR.json)
+    for bench, n in (("Amazon_6", 3), ("Amazon_13", 5), ("Taobao-10", 5),
+                     ("Taobao_20", 19), ("Taobao_30", 5)):
+        assert benchmark_config(bench, "mlp_meta_mamdr_finetune").train.sample_num == n
+
+    # per-benchmark MTL architecture blocks (config/<bench>/{ple,mmoe,shared_bottom}.json)
+    cfg = benchmark_config("Taobao-10", "ple")
+    assert cfg.model.hidden_dim == [256] and cfg.model.specific_expert_num == 10
+    assert cfg.model.shared_expert_num == 2 and cfg.model.num_levels == 1
+    cfg = benchmark_config("Taobao_20", "mmoe")
+    assert cfg.model.hidden_dim == [512, 256] and cfg.model.tower_hidden_dim == [128]
+    assert cfg.model.num_experts == 2
+    # shared_bottom lr: 1e-3 on Amazon, 1e-4 on Taobao
+    assert benchmark_config("Amazon_6", "shared_bottom").train.learning_rate == 1e-3
+    assert benchmark_config("Taobao_30", "shared_bottom").train.learning_rate == 1e-4
 
     cfg = benchmark_config("Taobao-10", "star_meta_mamdr_finetune")
     assert cfg.train.meta_parms == ["emb", "kernel_shared", "bias_shared"]
