@@ -202,6 +202,14 @@ class TrainConfig:
     # bit-exact to optax.adam, ~11% faster fused epochs on v5e — see
     # train/flat_optimizer.py).
     flat_optimizer: bool = True
+    # MAMDR DR phase as vmapped query-domain lanes (fused.make_fused_dr_parallel):
+    # "auto" = on when eligible (meta mask covers every trainable leaf, lane
+    # HBM fits), "on"/"off" force. The per-query DR work is independent once
+    # DN fixes the shared weights; the reference chains Adam slots through
+    # query domains only because it reuses one live model (mamdr.py:72-105).
+    # Parallel lanes start from the DR-entry slots instead — bit-identical
+    # under SGD/no-dropout, learning-equivalent under Adam (RESULTS.md).
+    dr_parallel: str = "auto"
 
 
 @dataclass

@@ -89,6 +89,50 @@ class MAMDRStrategy(MetaStrategy):
             and trainer.fused_padding_ok(ragged=True)
         )
 
+    def _dr_parallel_eligible(self) -> bool:
+        """Gate for the vmapped-lanes DR phase (fused.make_fused_dr_parallel).
+
+        Requires (a) the meta mask to cover EVERY trainable leaf — otherwise
+        non-meta trainable weights would need the sequential chained lineage
+        (e.g. STAR's specific kernels under meta_parms=["emb","kernel_shared",
+        "bias_shared"]); and (b) the stacked lane states (params + 2 Adam
+        slots per trainable leaf x n_domain) to fit comfortably in HBM —
+        with trainable embeddings (Amazon) the lanes stack full tables.
+        """
+        mode = getattr(self.tc, "dr_parallel", "auto")
+        if mode == "off":
+            return False
+        t = self.trainer
+        # Under a device mesh the sequential dr_phase is the verified path
+        # (row-sharded lookups inside shard_map; vmapping lanes over it is
+        # unexercised) — keep lanes single-device.
+        if t.mesh is not None:
+            return False
+        frozen = trees.named_tree_map(
+            lambda n, x: (not self.tc.emb_trainable)
+            and ("user_emb" in n or "item_emb" in n),
+            t.state.params,
+        )
+        covered = jax.tree_util.tree_all(
+            jax.tree_util.tree_map(
+                lambda m, f: bool(m) or bool(f), self.mask, frozen
+            )
+        )
+        if not covered:
+            return False
+        if mode == "on":
+            return True
+        trainable_bytes = sum(
+            leaf.size * leaf.dtype.itemsize
+            for leaf, fz in zip(
+                jax.tree_util.tree_leaves(t.state.params),
+                jax.tree_util.tree_leaves(frozen),
+            )
+            if not fz
+        )
+        lane_bytes = 3 * self.n_domain * trainable_bytes  # params + 2 Adam slots
+        return lane_bytes < 4e9
+
     # ---------------- eval plumbing ----------------
 
     def val_params_fn(self, idx: int):
@@ -192,6 +236,29 @@ class MAMDRStrategy(MetaStrategy):
             self.tc.domain_regulation_step,
             steps_list=t.steps_per_domain(),
         )
+        if self._dr_parallel_eligible():
+            from mamdr_tpu.train.steps import make_subset_train_step
+            from mamdr_tpu.utils import trees as trees_mod
+
+            frozen_mask = trees_mod.named_tree_map(
+                lambda n, x: (not self.tc.emb_trainable)
+                and ("user_emb" in n or "item_emb" in n),
+                t.state.params,
+            )
+            sub_step, to_sub, combine = make_subset_train_step(
+                t.model, t.tx, t.step_cfg, frozen_mask, t.state.params
+            )
+            self._dr_phase = fused.make_fused_dr_parallel(
+                sub_step,
+                to_sub,
+                combine,
+                self.mask,
+                self.tc.merged_method,
+                n_steps,
+                t.dataset.batch_size,
+                self.tc.domain_regulation_step,
+                steps_list=t.steps_per_domain(),
+            )
         self._spec_stack = fused.stack_specific(self.specific, self.mask)
         self._dn_compiled = self._dr_compiled = None
         if parallel_compile:

@@ -986,6 +986,146 @@ def make_fused_mamdr(
     return dn_phase, dr_phase
 
 
+def make_fused_dr_parallel(
+    sub_step,
+    to_sub,
+    combine,
+    mask: Pytree,
+    merged_method: str,
+    n_steps: int,
+    batch: int,
+    domain_regulation_step: int = 0,
+    shuffle: bool = True,
+    steps_list=None,
+):
+    """DR phase with every query domain as a vmapped lane — one dispatch.
+
+    The per-query DR work (reference mamdr.py:60-108) is independent once
+    the DN phase has fixed `shared`: query q's loop only reads shared and
+    the data block and writes specific[q]. The sequential dr_phase chains
+    the optimizer slots and the step counter through query domains anyway —
+    a side effect of the reference reusing one live Keras model, not an
+    algorithmic requirement. This variant instead starts every lane from the
+    DR-entry state (params / optimizer slots / step counter) and runs all
+    lanes as ONE vmapped scan over the K support runs. At B=1024 the tower
+    matmuls are latency-bound (PERF.md), so L lanes cost far less than L
+    sequential epochs.
+
+    Semantics vs dr_phase: bit-identical when the inner optimizer is
+    slotless (SGD) and dropout is off (tests/test_fused_loop_equivalence.py);
+    with Adam only the slot lineage differs (each lane gets the DR-entry
+    slots instead of the previous query's). Eligibility is gated by the
+    caller (MAMDRStrategy): meta mask must cover every trainable leaf, else
+    non-meta trainables would also need per-lane lineage.
+
+    Frozen tables are shared across lanes via the subset step
+    (steps.make_subset_train_step): the lane states stack only trainable
+    leaves, so Taobao-scale frozen 125MB tables exist once.
+
+    Returned callable has the dr_phase signature:
+    (state, shared, specific_stack, block, order, aux, rng, meta_lr)
+    -> (state, specific_stack).
+    """
+    steps_list = _effective_steps_list(steps_list, n_steps)
+    steps_of = (
+        None if steps_list is None else jnp.asarray(steps_list, jnp.int32)
+    )
+
+    def merge_sub(shared_sub, spec_sub):
+        return ops.merge_weights(shared_sub, spec_sub, mask, merged_method)
+
+    @jax.jit
+    def dr_parallel(state: TrainState, shared, specific_stack, block,
+                    order, aux, rng, meta_lr):
+        d = order.shape[0]
+        sub0 = to_sub(state.params)
+        shared_sub = to_sub(shared)
+
+        def lane(substate, spec_q, query_flat, aux_q, r, q):
+            def aux_body(inner, xs2):
+                substate, spec_q = inner
+                s_idx, r2 = xs2
+                merged = merge_sub(shared_sub, spec_q)
+                substate = substate.replace(
+                    params=ops.load_masked(substate.params, merged, mask)
+                )
+                sup_flat = jax.tree_util.tree_map(
+                    lambda v: v[s_idx], block
+                )
+                r_sup, r_q = jax.random.split(r2)
+                substate, _ = _epoch_on_flat(
+                    sub_step, substate, sup_flat, r_sup, n_steps, batch,
+                    shuffle=shuffle,
+                    real_steps=None if steps_of is None else steps_of[s_idx],
+                )
+                substate, _ = _epoch_on_flat(
+                    sub_step, substate, query_flat, r_q, n_steps, batch,
+                    cap_steps=domain_regulation_step, shuffle=shuffle,
+                    real_steps=None if steps_of is None else steps_of[q],
+                )
+                spec_q = jax.tree_util.tree_map(
+                    lambda m, sp, a, mg: sp + (a - mg) * meta_lr if m else sp,
+                    mask, spec_q, substate.params, merged,
+                )
+                return (substate, spec_q), None
+
+            rngs2 = jax.random.split(r, aux_q.shape[0])
+            (substate, spec_q), _ = jax.lax.scan(
+                aux_body, (substate, spec_q), (aux_q, rngs2)
+            )
+            return substate, spec_q
+
+        stack_d = lambda x: jnp.broadcast_to(
+            x[None], (d,) + jnp.shape(x)
+        )
+        lane_states = state.replace(
+            params=jax.tree_util.tree_map(stack_d, sub0),
+            opt_state=jax.tree_util.tree_map(stack_d, state.opt_state),
+            batch_stats=(
+                jax.tree_util.tree_map(stack_d, state.batch_stats)
+                if state.batch_stats else {}
+            ),
+            rng=jnp.broadcast_to(state.rng[None], (d,) + state.rng.shape),
+            step=jnp.full((d,), state.step, jnp.int32),
+        )
+        # lane l handles query domain order[l] — identical per-lane rng
+        # derivation to dr_phase's scan (split(rng, D)[l] then split(r, K)).
+        # Unmasked leaves are never read inside a lane (every weight op is
+        # mask-gated) and — by the caller's eligibility gate — are exactly
+        # the frozen tables; carry [d] scalar placeholders so the vmapped
+        # outputs never materialise d copies of a 125MB table.
+        spec_lanes = jax.tree_util.tree_map(
+            lambda m, s: s[order] if m else jnp.zeros((d,), s.dtype),
+            mask, specific_stack,
+        )
+        query_flats = jax.tree_util.tree_map(lambda v: v[order], block)
+        rngs = jax.random.split(rng, d)
+
+        lane_states, spec_lanes = jax.vmap(lane)(
+            lane_states, spec_lanes, query_flats, aux, rngs, order
+        )
+
+        specific_stack = jax.tree_util.tree_map(
+            lambda m, st, lanes: st.at[order].set(lanes) if m else st,
+            mask, specific_stack, spec_lanes,
+        )
+        last = jax.tree_util.tree_map(lambda x: x[-1], lane_states.params)
+        state = state.replace(
+            params=combine(last),
+            opt_state=jax.tree_util.tree_map(
+                lambda x: x[-1], lane_states.opt_state
+            ),
+            batch_stats=(
+                jax.tree_util.tree_map(lambda x: x[-1], lane_states.batch_stats)
+                if state.batch_stats else {}
+            ),
+            step=lane_states.step[-1],
+        )
+        return state, specific_stack
+
+    return dr_parallel
+
+
 def stack_specific(specific_list: List[Pytree], mask: Pytree) -> Pytree:
     """[per-domain pytrees] -> one pytree with leading domain axis on masked
     leaves (unmasked leaves take domain 0's value — they're never used)."""

@@ -257,3 +257,27 @@ def test_packed_formation_bit_identical():
                 np.testing.assert_array_equal(
                     np.asarray(got[k]), np.asarray(want[k]), err_msg=k
                 )
+
+
+def test_dr_parallel_eligibility_gate(tmp_path):
+    """Parallel-lanes DR (fused.make_fused_dr_parallel) is gated to configs
+    whose meta mask covers every trainable leaf: STAR's meta_parms subset
+    (non-meta specific kernels need the chained lineage) must fall back to
+    the sequential dr_phase; plain MLP MAMDR is eligible; dr_parallel="off"
+    forces sequential."""
+    t = make_trainer(tmp_path, name="mlp_meta_mamdr", n_domain=2)
+    s = build_strategy(t)
+    assert s._dr_parallel_eligible()
+
+    t2 = make_trainer(
+        tmp_path, name="star_meta_mamdr", n_domain=2,
+        norm="pn", dense="star", auxiliary_dim=8,
+    )
+    t2.config.train.meta_parms = ["emb", "kernel_shared", "bias_shared"]
+    s2 = build_strategy(t2)
+    assert not s2._dr_parallel_eligible()
+
+    t3 = make_trainer(tmp_path, name="mlp_meta_mamdr", n_domain=2)
+    t3.config.train.dr_parallel = "off"
+    s3 = build_strategy(t3)
+    assert not s3._dr_parallel_eligible()

@@ -391,3 +391,58 @@ def test_dynamic_dr_equals_loop(tmp_path):
     for q in ORDER:
         assert_trees_close(s1.specific[q], spec2[q])
     assert_trees_close(t1.state.params, t2.state.params)
+
+
+@pytest.mark.parametrize("ragged", [False, True])
+def test_parallel_dr_equals_sequential_dr(tmp_path, ragged):
+    # The vmapped-lanes DR phase (fused.make_fused_dr_parallel) against the
+    # sequential dr_phase. With a slotless optimizer (SGD) and dropout off,
+    # the ONLY sequential-vs-parallel delta — optimizer-slot / step-counter
+    # lineage chained across query domains — vanishes, so the two must agree
+    # (up to batched-matmul reduction order). shuffle=True pins the per-lane
+    # rng derivation too (split(rng, D)[l], then split(r, K)).
+    AUX = np.asarray([[1, 2, 0], [2, 0, 1], [0, 1, 2]], np.int32)
+    extra = {
+        "specific_init": "zeros", "sample_num": 2, "add_query_domain": True,
+        "optimizer": "sgd",
+    }
+    steps_list = None
+    t1, ds = make_trainer(tmp_path, 1, "mlp_meta_mamdr", extra)
+    if ragged:
+        steps_list = fused.domain_step_counts(ds.train, BATCH)
+    s1 = MAMDRStrategy(t1)
+    shared = t1.state.params
+    block, n_steps = fused.stack_domains_on_device(ds.train, BATCH)
+    _, dr_seq = fused.make_fused_mamdr(
+        t1.train_step_fn(), s1.mask, "plus", n_steps, BATCH,
+        domain_regulation_step=0, shuffle=True, steps_list=steps_list,
+    )
+    spec_seq = fused.stack_specific(s1.specific, s1.mask)
+    st1, spec_seq = dr_seq(
+        t1.state, shared, spec_seq, block, np.asarray(ORDER, np.int32),
+        AUX, jax.random.PRNGKey(7), 0.1,
+    )
+
+    t2, _ = make_trainer(tmp_path, 2, "mlp_meta_mamdr", extra)
+    s2 = MAMDRStrategy(t2)
+    from mamdr_tpu.train.steps import make_subset_train_step
+
+    frozen_mask = trees.named_tree_map(lambda n, x: False, t2.state.params)
+    sub_step, to_sub, combine = make_subset_train_step(
+        t2.model, t2.tx, t2.step_cfg, frozen_mask, t2.state.params
+    )
+    dr_par = fused.make_fused_dr_parallel(
+        sub_step, to_sub, combine, s2.mask, "plus", n_steps, BATCH,
+        domain_regulation_step=0, shuffle=True, steps_list=steps_list,
+    )
+    spec_par = fused.stack_specific(s2.specific, s2.mask)
+    st2, spec_par = dr_par(
+        t2.state, shared, spec_par, block, np.asarray(ORDER, np.int32),
+        AUX, jax.random.PRNGKey(7), 0.1,
+    )
+
+    for q in ORDER:
+        a = fused.unstack_specific(spec_seq, s1.mask, 3)[q]
+        b = fused.unstack_specific(spec_par, s2.mask, 3)[q]
+        assert_trees_close(a, b)
+    assert_trees_close(st1.params, st2.params)

@@ -32,6 +32,10 @@ def make(tmp_path, tag, mesh=None):
         "epoch": 1, "learning_rate": 0.01, "meta_learning_rate": 0.1,
         "patience": 3, "sample_num": 2, "add_query_domain": True,
         "metrics_jsonl": False,
+        # this test pins mesh-vs-single-device parity of the SEQUENTIAL
+        # dr_phase (the mesh-eligible path); the parallel-lanes DR has its
+        # own equivalence test in test_fused_loop_equivalence.py
+        "dr_parallel": "off",
     }
     if mesh is not None:
         train["sharded_lookup_min_rows"] = 16
