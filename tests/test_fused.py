@@ -281,3 +281,36 @@ def test_dr_parallel_eligibility_gate(tmp_path):
     t3.config.train.dr_parallel = "off"
     s3 = build_strategy(t3)
     assert not s3._dr_parallel_eligible()
+
+
+def test_many_domains_fused_dn(tmp_path):
+    """The production scaling axis is domain COUNT (paper: thousands of
+    domains, avg AUC over 69,102 production domains — SURVEY §5.7). The
+    ragged flattened DN pass must stay one compact scan as D grows: 300
+    long-tailed domains train+eval end-to-end in seconds, with the graph
+    size independent of D (per-step domain ids are data, not program)."""
+    from mamdr_tpu.config import ExperimentConfig
+    from mamdr_tpu.strategies import build_strategy
+
+    D = 300
+    cfg = ExperimentConfig.from_dict(
+        {
+            "model": {"name": "mlp_meta_domain_negotiation", "user_dim": 8,
+                       "item_dim": 8, "domain_dim": 8, "hidden_dim": [16, 8],
+                       "dropout": 0.0},
+            "train": {"epoch": 1, "learning_rate": 0.01,
+                       "meta_learning_rate": 0.1, "patience": 1,
+                       "metrics_jsonl": False},
+            "dataset": {"name": "synthetic", "batch_size": 64, "seed": 5},
+        }
+    )
+    cfg.train.checkpoint_path = str(tmp_path / "ckpt")
+    cfg.train.result_save_path = str(tmp_path / "result")
+    ds = make_synthetic_dataset(n_domain=D, n_uid=2000, n_pid=2000,
+                                n_per_domain=256, seed=5, long_tail=True,
+                                batch_size=64)
+    t = Trainer(cfg, ds, verbose=False)
+    s = build_strategy(t)
+    avg_loss, avg_auc, _, domain_auc = s.run()
+    assert np.isfinite(avg_loss) and len(domain_auc) == D
+    assert all(0.0 <= a <= 1.0 for a in domain_auc.values())
