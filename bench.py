@@ -116,14 +116,13 @@ def main():
 
     def sync():
         # NOTE: jax.block_until_ready is unreliable on the axon platform —
-        # force completion with device->host scalar readbacks instead.
-        leaves = (
-            jax.tree_util.tree_leaves(trainer.state.params)[:1]
-            + jax.tree_util.tree_leaves(strat.shared)[:1]
-            + jax.tree_util.tree_leaves(strat._spec_stack)[3:4]
-        )
-        for leaf in leaves:
-            float(leaf.sum())
+        # force completion with a device->host scalar readback instead. ONE
+        # readback of a DR output fences the whole epoch chain: the DR
+        # dispatch consumes the DN phase's outputs (state, shared), so its
+        # completion implies every queued dispatch completed. Each readback
+        # costs ~2 tunnel RTTs (~66ms) — measure GROUPS of epochs per sync
+        # so the measurement isn't dominated by the readback tail.
+        float(jax.tree_util.tree_leaves(strat._spec_stack)[3].sum())
 
     # BENCH_PARALLEL_COMPILE=1 AOT-compiles the DN and DR graphs on two
     # threads (VERDICT item 6 measurement hook; the remote compile service
@@ -138,20 +137,25 @@ def main():
     sync()
     log(f"warmup: {time.time() - t0:.1f}s")
 
-    log("measuring 5 epochs (2 dispatches each)...")
-    n_measure = 5
+    # Async dispatches pipeline through the tunnel; syncing once per GROUP
+    # of epochs keeps the ~66ms readback tail out of the per-epoch number
+    # (it was ~30% of the measurement once the parallel-lanes DR cut epoch
+    # compute to ~0.25s).
+    group, n_groups = 5, 3
+    log(f"measuring {n_groups} groups of {group} epochs (2 dispatches each)...")
     times = []
-    for _ in range(n_measure):
+    for _ in range(n_groups):
         t0 = time.time()
-        strat.run_fused_epoch()
+        for _ in range(group):
+            strat.run_fused_epoch()
         sync()
-        times.append(time.time() - t0)
+        times.append((time.time() - t0) / group)
     elapsed = float(np.median(times))
     throughput = examples_per_epoch / elapsed
     log(
-        f"epoch times: {[f'{t:.2f}' for t in times]}s "
-        f"(median {elapsed:.2f}, best {min(times):.2f}); "
-        f"{examples_per_epoch} examples "
+        f"per-epoch times (group medians): {[f'{t:.3f}' for t in times]}s "
+        f"(median {elapsed:.3f}, best {min(times):.3f}); "
+        f"{examples_per_epoch} examples/epoch "
         f"({runs_per_epoch} domain-epochs x {steps_per_domain} steps) "
         f"-> {throughput:,.0f} ex/s median, "
         f"{examples_per_epoch / min(times):,.0f} best"
@@ -177,6 +181,7 @@ def main():
                 "vs_baseline": round(throughput / BASELINE_EXAMPLES_PER_SEC, 2),
                 "mfu_bf16_est": round(mfu, 4),
                 "epoch_seconds_median": round(elapsed, 3),
+                "dr_parallel": strat._dr_parallel_eligible(),
             }
         ),
         flush=True,
