@@ -202,3 +202,17 @@ def test_meta_parms_all_hidden(tmp_path):
     run_strategy(
         "mlp_meta_reptile", tmp_path, floor=0.65, meta_parms=["all_hidden"]
     )
+
+
+def test_mamdr_parallel_vs_sequential_learning_parity(tmp_path):
+    """Under Adam the parallel-lanes DR differs from the sequential dr_phase
+    only in optimizer-slot lineage (each lane starts from the DR-entry slots
+    instead of the previous query's leftovers). That must not change
+    learning quality: same config trained both ways lands within noise."""
+    _, auc_par, _, _ = run_strategy(
+        "mlp_meta_mamdr", tmp_path / "p", floor=0.66, dr_parallel="on",
+    )
+    _, auc_seq, _, _ = run_strategy(
+        "mlp_meta_mamdr", tmp_path / "s", floor=0.66, dr_parallel="off",
+    )
+    assert abs(auc_par - auc_seq) < 0.02, (auc_par, auc_seq)
