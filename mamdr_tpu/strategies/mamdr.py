@@ -103,11 +103,21 @@ class MAMDRStrategy(MetaStrategy):
         if mode == "off":
             return False
         t = self.trainer
-        # Under a device mesh the sequential dr_phase is the verified path
-        # (row-sharded lookups inside shard_map; vmapping lanes over it is
-        # unexercised) — keep lanes single-device.
+        # Under a device mesh, lanes SHARD over the data axis (each device
+        # trains n_domain/n_data query domains — embarrassingly parallel,
+        # docs/SCALING.md). Requires replicated tables (row-sharded lookups
+        # run inside shard_map, unexercised under vmap) and a divisible lane
+        # count; otherwise fall back to the mesh-verified sequential path.
         if t.mesh is not None:
-            return False
+            from mamdr_tpu.parallel.mesh import DATA_AXIS
+
+            if self.n_domain % t.mesh.shape[DATA_AXIS] != 0:
+                return False
+            if (
+                max(t.dataset.n_uid, t.dataset.n_pid)
+                >= self.tc.sharded_lookup_min_rows
+            ):
+                return False
         frozen = trees.named_tree_map(
             lambda n, x: (not self.tc.emb_trainable)
             and ("user_emb" in n or "item_emb" in n),
@@ -248,6 +258,13 @@ class MAMDRStrategy(MetaStrategy):
             sub_step, to_sub, combine = make_subset_train_step(
                 t.model, t.tx, t.step_cfg, frozen_mask, t.state.params
             )
+            lane_sharding = None
+            if t.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                from mamdr_tpu.parallel.mesh import DATA_AXIS
+
+                lane_sharding = NamedSharding(t.mesh, PartitionSpec(DATA_AXIS))
             self._dr_phase = fused.make_fused_dr_parallel(
                 sub_step,
                 to_sub,
@@ -258,6 +275,7 @@ class MAMDRStrategy(MetaStrategy):
                 t.dataset.batch_size,
                 self.tc.domain_regulation_step,
                 steps_list=t.steps_per_domain(),
+                lane_sharding=lane_sharding,
             )
         self._spec_stack = fused.stack_specific(self.specific, self.mask)
         self._dn_compiled = self._dr_compiled = None

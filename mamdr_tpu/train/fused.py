@@ -997,6 +997,7 @@ def make_fused_dr_parallel(
     domain_regulation_step: int = 0,
     shuffle: bool = True,
     steps_list=None,
+    lane_sharding=None,
 ):
     """DR phase with every query domain as a vmapped lane — one dispatch.
 
@@ -1021,6 +1022,14 @@ def make_fused_dr_parallel(
     Frozen tables are shared across lanes via the subset step
     (steps.make_subset_train_step): the lane states stack only trainable
     leaves, so Taobao-scale frozen 125MB tables exist once.
+
+    With `lane_sharding` (a NamedSharding whose PartitionSpec names the mesh
+    axis for dim 0), the lane axis is SHARDED across devices: lanes are
+    embarrassingly parallel (zero cross-lane dataflow until the final
+    specific-stack writeback), so the DR phase scales across chips with no
+    collectives beyond XLA's output gather — the multi-chip scale-out path
+    for the flagship (docs/SCALING.md "domain-level concurrency"). The data
+    block and frozen tables stay replicated.
 
     Returned callable has the dr_phase signature:
     (state, shared, specific_stack, block, order, aux, rng, meta_lr)
@@ -1100,6 +1109,14 @@ def make_fused_dr_parallel(
         )
         query_flats = jax.tree_util.tree_map(lambda v: v[order], block)
         rngs = jax.random.split(rng, d)
+
+        if lane_sharding is not None:
+            shard_lanes = lambda t: jax.tree_util.tree_map(
+                lambda x: jax.lax.with_sharding_constraint(x, lane_sharding), t
+            )
+            lane_states = shard_lanes(lane_states)
+            spec_lanes = shard_lanes(spec_lanes)
+            query_flats = shard_lanes(query_flats)
 
         lane_states, spec_lanes = jax.vmap(lane)(
             lane_states, spec_lanes, query_flats, aux, rngs, order
