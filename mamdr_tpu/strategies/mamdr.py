@@ -198,6 +198,10 @@ class MAMDRStrategy(MetaStrategy):
             self.best_shared,
             self.best_specific,
             extra={"merged_method": self.tc.merged_method},
+            # specifics' unmasked leaves alias shared (strip()) — writing
+            # them per domain made a 3.8GB checkpoint per improving epoch
+            # at Taobao-30 scale (the campaign's epoch-time bottleneck)
+            mask=self.mask,
         )
 
     def test(self):

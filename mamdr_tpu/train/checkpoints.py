@@ -47,9 +47,14 @@ def _unflatten_into(tree, flat: Dict[str, np.ndarray]):
     return jax.tree_util.tree_map_with_path(pick, tree)
 
 
-def save_pytree(path: str, tree) -> None:
+def save_pytree(path: str, tree, keep=None) -> None:
+    """Atomic npz write; `keep` (a same-structure bool pytree) drops
+    False-flagged leaves from the file."""
     os.makedirs(osp.dirname(osp.abspath(path)), exist_ok=True)
     flat = _flatten(tree)
+    if keep is not None:
+        keep_flat = _flatten(keep)
+        flat = {k: v for k, v in flat.items() if bool(keep_flat[k])}
     fd, tmp = tempfile.mkstemp(dir=osp.dirname(osp.abspath(path)), suffix=".tmp")
     try:
         with os.fdopen(fd, "wb") as f:
@@ -149,13 +154,22 @@ def save_decomposition(
     shared,
     domain_specific: List[Any],
     extra: Optional[Dict] = None,
+    mask=None,
 ) -> None:
-    """MAMDR checkpoint: shared params + per-domain specific deltas + metadata."""
+    """MAMDR checkpoint: shared params + per-domain specific deltas + metadata.
+
+    With `mask` (the meta-param mask), each specific file stores ONLY the
+    masked leaves: unmasked leaves of a specific tree are aliases of the
+    shared tree by construction (MAMDRStrategy.strip), so writing them per
+    domain multiplies the checkpoint by n_domain x full-model size — at
+    Taobao-30 scale that was a 3.8GB write (~130MB frozen tables x 31 files)
+    per improving epoch, dominating campaign epoch time. load_decomposition
+    restores unmasked leaves from shared, preserving the alias semantics."""
     os.makedirs(dirpath, exist_ok=True)
     save_pytree(osp.join(dirpath, "shared.npz"), shared)
     for i, spec in enumerate(domain_specific):
-        save_pytree(osp.join(dirpath, f"specific_{i}.npz"), spec)
-    meta = {"n_domain": len(domain_specific)}
+        save_pytree(osp.join(dirpath, f"specific_{i}.npz"), spec, keep=mask)
+    meta = {"n_domain": len(domain_specific), "masked_only": mask is not None}
     if extra:
         meta.update(extra)
     with open(osp.join(dirpath, "meta.json"), "w") as f:
@@ -166,8 +180,18 @@ def load_decomposition(dirpath: str, template):
     with open(osp.join(dirpath, "meta.json")) as f:
         meta = json.load(f)
     shared = load_pytree(osp.join(dirpath, "shared.npz"), template)
+    shared_flat = _flatten(shared)
+
+    def load_spec(path):
+        with np.load(path) as z:
+            flat = {k: z[k] for k in z.files}
+        # masked-only files: unmasked leaves alias shared (strategy strip)
+        merged = dict(shared_flat)
+        merged.update(flat)
+        return _unflatten_into(template, merged)
+
     specific = [
-        load_pytree(osp.join(dirpath, f"specific_{i}.npz"), template)
+        load_spec(osp.join(dirpath, f"specific_{i}.npz"))
         for i in range(meta["n_domain"])
     ]
     return shared, specific, meta

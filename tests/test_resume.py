@@ -134,3 +134,35 @@ def test_per_domain_finetune_artifacts(tmp_path):
             np.all(np.isfinite(np.asarray(x)))
             for x in __import__("jax").tree_util.tree_leaves(tree)
         )
+
+
+def test_decomposition_masked_roundtrip(tmp_path):
+    """save_decomposition(mask=...) writes only masked leaves per specific
+    (unmasked leaves alias shared — writing them was n_domain x full-model
+    bytes per improving epoch); load restores the aliases from shared."""
+    from mamdr_tpu.strategies.mamdr import MAMDRStrategy
+
+    cfg, ds = make(tmp_path, name="mlp_meta_mamdr", epochs=1,
+                   meta_learning_rate=0.1)
+    t = Trainer(cfg, ds, verbose=False)
+    s = MAMDRStrategy(t)
+    d = str(tmp_path / "decomp")
+    checkpoints.save_decomposition(
+        d, s.shared, s.specific, extra={"merged_method": "plus"}, mask=s.mask
+    )
+    # specific files hold exactly the masked leaves (frozen/pretrained
+    # tables are unmasked on Taobao configs and stay out of every specific)
+    z = np.load(d + "/specific_0.npz")
+    mask_flat = {}
+    jax.tree_util.tree_map_with_path(
+        lambda p, m: mask_flat.__setitem__(
+            checkpoints.path_str(p).replace("/", checkpoints.SEP), bool(m)
+        ),
+        s.mask,
+    )
+    assert set(z.files) == {k for k, m in mask_flat.items() if m}
+    shared2, specific2, meta = checkpoints.load_decomposition(d, t.state.params)
+    assert meta["masked_only"]
+    for a, b in zip(jax.tree_util.tree_leaves(s.specific[0]),
+                    jax.tree_util.tree_leaves(specific2[0])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
