@@ -203,12 +203,15 @@ class TrainConfig:
     # train/flat_optimizer.py).
     flat_optimizer: bool = True
     # MAMDR DR phase as vmapped query-domain lanes (fused.make_fused_dr_parallel):
-    # "auto" = on when eligible (meta mask covers every trainable leaf, lane
-    # HBM fits), "on"/"off" force. The per-query DR work is independent once
-    # DN fixes the shared weights; the reference chains Adam slots through
-    # query domains only because it reuses one live model (mamdr.py:72-105).
-    # Parallel lanes start from the DR-entry slots instead — bit-identical
-    # under SGD/no-dropout, learning-equivalent under Adam (RESULTS.md).
+    # "auto" = on when eligible (meta mask covers every trainable leaf, no
+    # batch statistics, replicated tables, lane HBM fits); "off" forces the
+    # sequential dr_phase; "on" skips the HBM heuristic and RAISES if the
+    # config is structurally ineligible. The per-query DR work is independent
+    # once DN fixes the shared weights; the reference chains Adam slots
+    # through query domains only because it reuses one live model
+    # (mamdr.py:72-105). Parallel lanes start from the DR-entry slots with
+    # per-lane dropout streams — bit-identical under SGD/no-dropout,
+    # learning-equivalent under Adam+dropout (RESULTS.md).
     dr_parallel: str = "auto"
 
 

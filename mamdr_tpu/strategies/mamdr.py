@@ -103,21 +103,48 @@ class MAMDRStrategy(MetaStrategy):
         if mode == "off":
             return False
         t = self.trainer
+
+        def ineligible(reason: str) -> bool:
+            if mode == "on":
+                raise ValueError(f"dr_parallel='on' but {reason}")
+            return False
+
+        # Moving statistics (STAR PartitionedNorm) chain through query epochs
+        # in the sequential dr_phase; parallel lanes would keep only the last
+        # lane's updates — keep stat-carrying models sequential.
+        if t.state.batch_stats:
+            return ineligible(
+                "the model carries batch statistics (e.g. PartitionedNorm), "
+                "whose cross-query lineage needs the sequential dr_phase"
+            )
         # Under a device mesh, lanes SHARD over the data axis (each device
         # trains n_domain/n_data query domains — embarrassingly parallel,
         # docs/SCALING.md). Requires replicated tables (row-sharded lookups
         # run inside shard_map, unexercised under vmap) and a divisible lane
         # count; otherwise fall back to the mesh-verified sequential path.
         if t.mesh is not None:
-            from mamdr_tpu.parallel.mesh import DATA_AXIS
+            from mamdr_tpu.parallel.mesh import DATA_AXIS, TABLE_AXIS
 
             if self.n_domain % t.mesh.shape[DATA_AXIS] != 0:
-                return False
-            if (
-                max(t.dataset.n_uid, t.dataset.n_pid)
-                >= self.tc.sharded_lookup_min_rows
-            ):
-                return False
+                return ineligible(
+                    f"n_domain {self.n_domain} does not divide the mesh data "
+                    f"axis {t.mesh.shape[DATA_AXIS]}"
+                )
+            # mirror embedding_lookup's own sharding predicate on the ACTUAL
+            # (possibly padded) table shapes — raw dataset row counts can
+            # disagree with what the lookup shards
+            tshards = t.mesh.shape[TABLE_AXIS]
+            min_rows = self.tc.sharded_lookup_min_rows
+            sharded_table = trees.named_tree_map(
+                lambda n, x: "emb" in n and getattr(x, "ndim", 0) == 2
+                and x.shape[0] >= min_rows and x.shape[0] % tshards == 0,
+                t.state.params,
+            )
+            if any(jax.tree_util.tree_leaves(sharded_table)):
+                return ineligible(
+                    "an embedding table is row-sharded (shard_map lookups "
+                    "are unexercised under vmapped lanes)"
+                )
         frozen = trees.named_tree_map(
             lambda n, x: (not self.tc.emb_trainable)
             and ("user_emb" in n or "item_emb" in n),
@@ -129,7 +156,10 @@ class MAMDRStrategy(MetaStrategy):
             )
         )
         if not covered:
-            return False
+            return ineligible(
+                "the meta mask does not cover every trainable leaf (non-meta "
+                "trainables need the sequential chained lineage)"
+            )
         if mode == "on":
             return True
         trainable_bytes = sum(

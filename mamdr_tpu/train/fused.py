@@ -1013,11 +1013,15 @@ def make_fused_dr_parallel(
     sequential epochs.
 
     Semantics vs dr_phase: bit-identical when the inner optimizer is
-    slotless (SGD) and dropout is off (tests/test_fused_loop_equivalence.py);
-    with Adam only the slot lineage differs (each lane gets the DR-entry
-    slots instead of the previous query's). Eligibility is gated by the
-    caller (MAMDRStrategy): meta mask must cover every trainable leaf, else
-    non-meta trainables would also need per-lane lineage.
+    slotless (SGD) and dropout is off (tests/test_fused_loop_equivalence.py).
+    Otherwise two lineages differ: optimizer slots (each lane starts from
+    the DR-entry slots instead of the previous query's) and the dropout
+    stream (per-lane fold_in of the lane index instead of the sequential
+    step-counter offsets) — both validated for learning parity
+    (test_strategies_e2e parity test, RESULTS.md). Eligibility is gated by
+    the caller (MAMDRStrategy): meta mask must cover every trainable leaf
+    and the model must carry no batch statistics, else those would also
+    need per-lane lineage.
 
     Frozen tables are shared across lanes via the subset step
     (steps.make_subset_train_step): the lane states stack only trainable
@@ -1087,6 +1091,14 @@ def make_fused_dr_parallel(
         stack_d = lambda x: jnp.broadcast_to(
             x[None], (d,) + jnp.shape(x)
         )
+        # Per-lane dropout streams: fold the lane index into the state rng —
+        # a broadcast rng + equal step counters would give every query domain
+        # IDENTICAL dropout masks at aligned steps (the sequential dr_phase
+        # decorrelates them via distinct step offsets). No effect with
+        # dropout off (the state rng's only consumer).
+        lane_rngs = jax.vmap(lambda i: jax.random.fold_in(state.rng, i))(
+            jnp.arange(d)
+        )
         lane_states = state.replace(
             params=jax.tree_util.tree_map(stack_d, sub0),
             opt_state=jax.tree_util.tree_map(stack_d, state.opt_state),
@@ -1094,7 +1106,7 @@ def make_fused_dr_parallel(
                 jax.tree_util.tree_map(stack_d, state.batch_stats)
                 if state.batch_stats else {}
             ),
-            rng=jnp.broadcast_to(state.rng[None], (d,) + state.rng.shape),
+            rng=lane_rngs,
             step=jnp.full((d,), state.step, jnp.int32),
         )
         # lane l handles query domain order[l] — identical per-lane rng

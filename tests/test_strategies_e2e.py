@@ -205,14 +205,18 @@ def test_meta_parms_all_hidden(tmp_path):
 
 
 def test_mamdr_parallel_vs_sequential_learning_parity(tmp_path):
-    """Under Adam the parallel-lanes DR differs from the sequential dr_phase
-    only in optimizer-slot lineage (each lane starts from the DR-entry slots
-    instead of the previous query's leftovers). That must not change
-    learning quality: same config trained both ways lands within noise."""
+    """Under Adam + dropout the parallel-lanes DR differs from the sequential
+    dr_phase in optimizer-slot lineage (each lane starts from the DR-entry
+    slots) and dropout streams (per-lane fold_in vs sequential step offsets).
+    Neither may change learning quality: same config trained both ways lands
+    within noise. Dropout is ON here deliberately — it exercises the
+    per-lane rng decorrelation axis the bit-equivalence tests turn off."""
     _, auc_par, _, _ = run_strategy(
-        "mlp_meta_mamdr", tmp_path / "p", floor=0.66, dr_parallel="on",
+        "mlp_meta_mamdr", tmp_path / "p", floor=0.64, dr_parallel="on",
+        model_overrides={"dropout": 0.3},
     )
     _, auc_seq, _, _ = run_strategy(
-        "mlp_meta_mamdr", tmp_path / "s", floor=0.66, dr_parallel="off",
+        "mlp_meta_mamdr", tmp_path / "s", floor=0.64, dr_parallel="off",
+        model_overrides={"dropout": 0.3},
     )
     assert abs(auc_par - auc_seq) < 0.02, (auc_par, auc_seq)
