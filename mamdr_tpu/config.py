@@ -106,6 +106,12 @@ class ModelConfig:
     auxiliary_dim: int = 128
     hidden_dim: List[int] = field(default_factory=lambda: [256, 128, 64])
     dropout: float = 0.0
+    # Mixed-precision tower compute ("float32" | "bfloat16"): params stay
+    # float32 (bit-compatible checkpoints); dense-tower matmuls run in the
+    # requested dtype with f32 accumulation. float32 default = reference
+    # numerics. Wired through the deepctr zoo (DNN + logit head); STAR/MTL
+    # accept the knob but currently compute f32.
+    compute_dtype: str = "float32"
     # MTL extras (config/Taobao-10/{mmoe,ple}.json)
     tower_hidden_dim: List[int] = field(default_factory=lambda: [64])
     num_experts: int = 4

@@ -61,6 +61,14 @@ class _Base(nn.Module):
     # PNN
     use_inner: bool = True
     use_outter: bool = False
+    # Mixed-precision tower compute ("float32" | "bfloat16"): params stay
+    # float32; dense matmuls run at the requested dtype with f32 accumulation
+    # (flax Dense dtype). Embeddings, loss, and metrics stay float32.
+    compute_dtype: str = "float32"
+
+    @property
+    def cdtype(self):
+        return None if self.compute_dtype == "float32" else jnp.dtype(self.compute_dtype)
 
     def embed(self, uid, pid, domain):
         return EmbeddingBlock(
@@ -84,8 +92,8 @@ class MLP(_Base):
     def __call__(self, uid, pid, domain, train: bool = False):
         u, p, d = self.embed(uid, pid, domain)
         x = jnp.concatenate([u, p, d], axis=-1)
-        x = DNN(tuple(self.hidden_dim), self.dropout, name="dnn")(x, train)
-        return LogitDense(name="logit")(x)
+        x = DNN(tuple(self.hidden_dim), self.dropout, dtype=self.cdtype, name="dnn")(x, train)
+        return LogitDense(dtype=self.cdtype, name="logit")(x)
 
 
 class WDL(_Base):
@@ -95,8 +103,8 @@ class WDL(_Base):
     def __call__(self, uid, pid, domain, train: bool = False):
         u, p, d = self.embed(uid, pid, domain)
         deep = jnp.concatenate([u, p, d], axis=-1)
-        deep = DNN(tuple(self.hidden_dim), self.dropout, name="dnn")(deep, train)
-        return self.linear_logit(uid, pid, domain) + LogitDense(name="logit")(deep)
+        deep = DNN(tuple(self.hidden_dim), self.dropout, dtype=self.cdtype, name="dnn")(deep, train)
+        return self.linear_logit(uid, pid, domain) + LogitDense(dtype=self.cdtype, name="logit")(deep)
 
 
 class DeepFM(_Base):
@@ -107,11 +115,11 @@ class DeepFM(_Base):
         u, p, d = self.embed(uid, pid, domain)
         fields = stack_fields(u, p, d)
         deep = jnp.concatenate([u, p, d], axis=-1)
-        deep = DNN(tuple(self.hidden_dim), self.dropout, name="dnn")(deep, train)
+        deep = DNN(tuple(self.hidden_dim), self.dropout, dtype=self.cdtype, name="dnn")(deep, train)
         return (
             self.linear_logit(uid, pid, domain)
             + fm_interaction(fields)
-            + LogitDense(name="logit")(deep)
+            + LogitDense(dtype=self.cdtype, name="logit")(deep)
         )
 
 
@@ -123,8 +131,8 @@ class NFM(_Base):
         u, p, d = self.embed(uid, pid, domain)
         fields = stack_fields(u, p, d)
         x = bi_interaction(fields)
-        x = DNN(tuple(self.hidden_dim), self.dropout, name="dnn")(x, train)
-        return self.linear_logit(uid, pid, domain) + LogitDense(name="logit")(x)
+        x = DNN(tuple(self.hidden_dim), self.dropout, dtype=self.cdtype, name="dnn")(x, train)
+        return self.linear_logit(uid, pid, domain) + LogitDense(dtype=self.cdtype, name="logit")(x)
 
 
 class AutoInt(_Base):
@@ -146,9 +154,9 @@ class AutoInt(_Base):
             )(att)
         att = att.reshape(att.shape[0], -1)
         deep = jnp.concatenate([u, p, d], axis=-1)
-        deep = DNN(tuple(self.hidden_dim), self.dropout, name="dnn")(deep, train)
+        deep = DNN(tuple(self.hidden_dim), self.dropout, dtype=self.cdtype, name="dnn")(deep, train)
         x = jnp.concatenate([att, deep], axis=-1)
-        return self.linear_logit(uid, pid, domain) + LogitDense(name="logit")(x)
+        return self.linear_logit(uid, pid, domain) + LogitDense(dtype=self.cdtype, name="logit")(x)
 
 
 class CCPM(_Base):
@@ -180,8 +188,8 @@ class CCPM(_Base):
             k = min(k, x.shape[1])
             x = KMaxPooling(k, axis=1)(x)
         x = x.reshape(x.shape[0], -1)
-        x = DNN(tuple(self.hidden_dim), self.dropout, name="dnn")(x, train)
-        return self.linear_logit(uid, pid, domain) + LogitDense(name="logit")(x)
+        x = DNN(tuple(self.hidden_dim), self.dropout, dtype=self.cdtype, name="dnn")(x, train)
+        return self.linear_logit(uid, pid, domain) + LogitDense(dtype=self.cdtype, name="logit")(x)
 
 
 class PNN(_Base):
@@ -201,5 +209,5 @@ class PNN(_Base):
         if self.use_outter:
             parts.append(OuterProduct(name="outer_product")(fields))
         x = jnp.concatenate(parts, axis=-1)
-        x = DNN(tuple(self.hidden_dim), self.dropout, name="dnn")(x, train)
-        return LogitDense(name="logit")(x)
+        x = DNN(tuple(self.hidden_dim), self.dropout, dtype=self.cdtype, name="dnn")(x, train)
+        return LogitDense(dtype=self.cdtype, name="logit")(x)

@@ -67,6 +67,8 @@ class _MTLBase(nn.Module):
     num_levels: int = 2
     pretrained_user: Optional[np.ndarray] = None
     pretrained_item: Optional[np.ndarray] = None
+    # accepted for zoo-config parity; MTL towers currently compute float32
+    compute_dtype: str = "float32"
 
     def embed_concat(self, uid, pid, domain):
         u, p, d = EmbeddingBlock(

@@ -170,6 +170,9 @@ class Star(nn.Module):
     dropout: float = 0.0          # unused by reference Star; kept for config parity
     pretrained_user: Optional[np.ndarray] = None
     pretrained_item: Optional[np.ndarray] = None
+    # accepted for zoo-config parity; STAR computes float32 (the star/PN
+    # weight-merge numerics are part of the reference contract)
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, uid, pid, domain, train: bool = False):

@@ -53,6 +53,7 @@ def build_model(
         dropout=mc.dropout,
         pretrained_user=pretrained_user,
         pretrained_item=pretrained_item,
+        compute_dtype=mc.compute_dtype,
     )
 
     if spec.base_family == "star":

@@ -224,6 +224,8 @@ def maybe_make_fast_loss_grad(model, cfg, interpret: bool = False):
 
     if type(model).__name__ != "MLP":
         return None
+    if getattr(model, "compute_dtype", "float32") != "float32":
+        return None  # the kernel computes f32; bf16 towers take autodiff
     if cfg.uncertainty_weight or cfg.has_batch_stats:
         return None
     if _LOOKUP_MESH["mesh"] is not None:

@@ -220,3 +220,14 @@ def test_mamdr_parallel_vs_sequential_learning_parity(tmp_path):
         model_overrides={"dropout": 0.3},
     )
     assert abs(auc_par - auc_seq) < 0.02, (auc_par, auc_seq)
+
+
+def test_bf16_compute_tower_learns(tmp_path):
+    """Mixed-precision towers (compute_dtype=bfloat16, f32 master params)
+    must learn like f32 — a single knob for the 2x MXU bf16 rate."""
+    _, auc_bf16, _, _ = run_strategy(
+        "mlp", tmp_path / "b", floor=0.65,
+        model_overrides={"compute_dtype": "bfloat16"},
+    )
+    _, auc_f32, _, _ = run_strategy("mlp", tmp_path / "f", floor=0.65)
+    assert abs(auc_bf16 - auc_f32) < 0.02, (auc_bf16, auc_f32)
