@@ -59,6 +59,8 @@ def main():
     n_per_domain = 20_000
     batch_size = 1024
 
+    import os as _os
+
     cfg = ExperimentConfig.from_dict(
         {
             "model": {
@@ -68,6 +70,11 @@ def main():
                 "domain_dim": 128,
                 "hidden_dim": [256, 128, 64],
                 "dropout": 0.5,
+                # BENCH_COMPUTE_DTYPE=bfloat16 measures the mixed-precision
+                # tower (f32 default = reference numerics)
+                "compute_dtype": _os.environ.get(
+                    "BENCH_COMPUTE_DTYPE", "float32"
+                ),
             },
             "train": {
                 "load_pretrain_emb": True,
