@@ -137,7 +137,11 @@ def main():
         "structure, long-tailed domain sizes, Taobao's frozen pretrained 128-d",
         "embeddings carrying the signal). Hyperparameters are the reference",
         "configs via mamdr_tpu.benchmarks (batch 1024, Adam 1e-3, meta-lr 0.1,",
-        "DR sample_num 5 + query, dropout 0.5, patience 3). Absolute AUCs are",
+        "benchmark-specific DR sample_num (A6=3, T20=19, else 5) + query,",
+        "dropout 0.5, patience 3). MAMDR rows train with the parallel-lanes",
+        "DR phase (fused.make_fused_dr_parallel — the flagship TPU path;",
+        "learning-equivalent to the sequential reference schedule, see",
+        "PERF.md). Absolute AUCs are",
         "therefore comparable across strategies within these datasets, and the",
         "paper's ORDERING claims are the reproduction target (arXiv:2202.12524",
         "Tables 2-3); paper-table absolute values require the proprietary raw",
@@ -192,6 +196,9 @@ def main():
             ]
             for name, entry in rows:
                 lines.append(row(name, entry))
+            checks = ordering_checks(dict(rows))
+            if checks:
+                lines += ["", "Ordering checks:", ""] + checks
             lines.append("")
 
     with open(OUT, "w") as f:
