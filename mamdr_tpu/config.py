@@ -219,6 +219,13 @@ class TrainConfig:
     # per-lane dropout streams — bit-identical under SGD/no-dropout,
     # learning-equivalent under Adam+dropout (RESULTS.md).
     dr_parallel: str = "auto"
+    # Vmapped separate/finetune lanes (fused.make_fused_separate). False
+    # forces the sequential per-domain loop — the reference-shaped fallback,
+    # used to isolate a TPU-runtime incident where a vmapped finetune lane's
+    # trainable item table was corrupted at Amazon_6 shapes (CPU clean; see
+    # CLAUDE.md). Default True: the fused path is equivalence-tested and is
+    # the production path for frozen-table (Taobao) configs.
+    separate_fused: bool = True
 
 
 @dataclass

@@ -171,7 +171,12 @@ class MAMDRStrategy(MetaStrategy):
             if not fz
         )
         lane_bytes = 3 * self.n_domain * trainable_bytes  # params + 2 Adam slots
-        return lane_bytes < 4e9
+        # Budget tightened from 4GB after a reproducible TPU worker crash
+        # ("kernel fault") at Amazon-13 shapes (13 lanes x ~40MB trainable
+        # tables ~ 1.6GB lane state + per-step batched scatter grads); the
+        # same code at 6 lanes (0.73GB) and at 30 frozen-table lanes runs
+        # clean. Sequential DR is the fallback, not a failure.
+        return lane_bytes < 1e9
 
     # ---------------- eval plumbing ----------------
 

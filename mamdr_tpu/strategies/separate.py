@@ -41,6 +41,8 @@ def separate_train_val_test(
     otherwise the sequential per-domain loop below.
     """
     t = trainer
+    if not getattr(t.config.train, "separate_fused", True):
+        return _separate_loop(t, init_params, params_fn, max_finetune_epochs)
     if t.fused_padding_ok():
         return _separate_fused(t, init_params, params_fn, max_finetune_epochs)
     if t.fused_padding_ok(ragged=True):

@@ -173,6 +173,15 @@ def run_variant(bench, model_name, dataset, results):
     cfg = benchmark_config(bench, model_name)
     cfg.train.epoch = EPOCH_CAP
     cfg.train.patience = PATIENCE
+    if bench.startswith("Amazon") and "mamdr" in model_name:
+        # TPU-runtime incident isolation (trainable-table lanes): Amazon_13
+        # parallel DR reproducibly crashed the TPU worker ("kernel fault"),
+        # and an Amazon_6 vmapped finetune lane's item table was corrupted
+        # (CPU repro clean both times). Run Amazon MAMDR on the sequential
+        # reference-shaped paths; Taobao (frozen tables) stays on the fused
+        # lanes, which run clean at 30 domains.
+        cfg.train.dr_parallel = "off"
+        cfg.train.separate_fused = False
     cfg.train.checkpoint_path = osp.join(ROOT, "ckpt", bench)
     cfg.train.result_save_path = osp.join(ROOT, "result", bench)
     t0 = time.time()
