@@ -53,6 +53,23 @@ def log(msg):
     print(f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
 
 
+def save_results(results, root):
+    """Write results.json in the (untracked) campaign dir AND mirror it into
+    the tracked campaign_snapshots/ dir — untracked campaign dirs have been
+    wiped by session resets before, losing the raw results."""
+    import json as _json
+    import os as _os
+    import os.path as _osp
+
+    with open(_osp.join(root, "results.json"), "w") as f:
+        _json.dump(results, f, indent=2)
+    snap_dir = "/root/repo/campaign_snapshots"
+    _os.makedirs(snap_dir, exist_ok=True)
+    snap = _osp.join(snap_dir, _osp.basename(root.rstrip("/")) + ".results.json")
+    with open(snap, "w") as f:
+        _json.dump(results, f, indent=2)
+
+
 def build_amazon_raw():
     raw = osp.join(ROOT, "amazon_raw")
     os.makedirs(raw, exist_ok=True)
@@ -221,8 +238,7 @@ def run_variant(bench, model_name, dataset, results):
         entry["error"] = f"{type(e).__name__}: {e}"
         log(f"{key} FAILED: {entry['error']}")
     results[key] = entry
-    with open(osp.join(ROOT, "results.json"), "w") as f:
-        json.dump(results, f, indent=2)
+    save_results(results, ROOT)
     # Release this variant's HBM (param trees, device-resident data blocks,
     # compiled executables + their captured constants) before the next one —
     # an OOM would otherwise cascade into every later variant.
@@ -256,9 +272,16 @@ def main():
     log(f"devices: {jax.devices()}")
     results = {}
     rp = osp.join(ROOT, "results.json")
-    if osp.exists(rp):
-        with open(rp) as f:
-            results = json.load(f)
+    snap = osp.join("/root/repo/campaign_snapshots",
+                    osp.basename(ROOT.rstrip("/")) + ".results.json")
+    if not osp.exists(rp) and osp.exists(snap):
+        rp_load = snap  # campaign dir wiped; resume from the tracked mirror
+    else:
+        rp_load = rp
+    if osp.exists(rp_load):
+        with open(rp_load) as f:
+            results = {k: v for k, v in json.load(f).items()
+                       if not k.startswith("_")}
     for bench, variants in MATRIX.items():
         dataset = None
         for model_name in variants:

@@ -16,6 +16,10 @@ import os.path as osp
 
 TB = "/root/repo/campaign_tb30/results.json"
 OTHERS = "/root/repo/campaign_others/results.json"
+# Tracked mirrors: campaign working dirs are untracked and have been wiped
+# by session resets before — the campaigns copy results.json here, and the
+# renderer falls back to these when the live files are gone.
+SNAPSHOTS = "/root/repo/campaign_snapshots"
 OUT = "/root/repo/RESULTS.md"
 
 PRETTY = {
@@ -38,9 +42,14 @@ PRETTY = {
 
 def load(path):
     if not osp.exists(path):
-        return None
+        snap = osp.join(SNAPSHOTS, osp.basename(osp.dirname(path))
+                        + ".results.json")
+        if not osp.exists(snap):
+            return None
+        path = snap
     with open(path) as f:
-        return json.load(f)
+        data = json.load(f)
+    return {k: v for k, v in data.items() if not k.startswith("_")}
 
 
 def row(name, entry):
@@ -110,7 +119,8 @@ def ordering_checks(r):
 
 
 def per_domain_table(r, names):
-    present = [n for n in names if "test" in r.get(n, {})]
+    present = [n for n in names
+               if r.get(n, {}).get("test", {}).get("domain_auc")]
     if not present:
         return []
     domains = sorted(
