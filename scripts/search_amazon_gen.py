@@ -89,6 +89,27 @@ TRIALS = {
     ),
 }
 
+# Density-matched 1/10-scale replicas of the campaign generator
+# (scripts/campaign_others.py AMAZON_GEN: 35k users, ~16 clicks/user,
+# 6 head domains of its 13) — the earlier trials had 2-3x fewer clicks
+# per user than the campaign, so their margins didn't transfer. These
+# hold the campaign's per-user/per-item density fixed and sweep ONLY the
+# cross-domain conflict (beta: 1.0 = one shared user preference, lower =
+# stronger per-domain rotation that specifics must absorb).
+_M10 = dict(
+    n_users=3500, lat=16, pop_offset=40.0, noise=0.05,
+    slope=3.0, thresh=0.5,
+    sizes=[24000, 14000, 8500, 5200, 3200, 2000],
+    items=[600, 380, 250, 170, 110, 75],
+)
+TRIALS.update({
+    "m10_b50": dict(_M10, beta=0.50),   # campaign regime (control)
+    "m10_b30": dict(_M10, beta=0.30),
+    "m10_b15": dict(_M10, beta=0.15),
+    "m10_b30_n10": dict(_M10, beta=0.30, noise=0.10),
+    "m10_dense_b35": dict(_M10, beta=0.35, n_users=1800),
+})
+
 
 def log(msg):
     print(f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
