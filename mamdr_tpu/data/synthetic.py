@@ -77,6 +77,7 @@ def generate_amazon_reviews(
     thresh: float = 0.5,
     seed: int = 17,
     cat_names: Optional[List[str]] = None,
+    dom_fn: str = "tanh",
 ) -> str:
     """Synthesise per-category Amazon-style review files (``Cat_i.json.gz``)
     for the Amazon ETL (reference recipe: dataset/Amazon/get_raw_data.py +
@@ -91,6 +92,18 @@ def generate_amazon_reviews(
     the regime the MAMDR paper's Amazon tables live in (arXiv:2202.12524).
     ``pop_offset`` sets item-popularity skew (larger = flatter), ``noise``
     flips labels toward coin-flips, ``sizes``/``items`` set the long tail.
+
+    ``dom_fn`` shapes the per-category component's nonlinearity. With
+    domain-disjoint items (each asin lives in one category), ANY linear map
+    f_d(u) is absorbable into that category's item embeddings (u·(M_d v)
+    re-parameterises as u·v'), so a jointly-trained bilinear model saturates
+    and MAMDR's per-domain specifics cannot add signal. ``tanh`` (the
+    original) is 96% linearly correlated with its input — nearly absorbable,
+    which is why joint kept winning the round-2 Amazon campaigns. ``abs``
+    and ``hermite2`` have ZERO linear correlation: the domain component is
+    a genuinely nonlinear per-category map of the shared user core that only
+    the tower (not the item table) can express — the regime where per-domain
+    adaptation carries real signal (paper's Amazon tables, arXiv:2202.12524).
     """
     import gzip
     import json
@@ -104,7 +117,17 @@ def generate_amazon_reviews(
         cat_names = [f"Cat_{ci}" for ci in range(len(sizes))]
     for ci, (n_rows, n_items) in enumerate(zip(sizes, items)):
         q, _ = np.linalg.qr(rng.normal(0, 1, (lat, lat)))
-        u_dom = np.tanh(u_core @ q.astype(np.float32)) * 1.594
+        rot = u_core @ q.astype(np.float32)
+        if dom_fn == "tanh":
+            u_dom = np.tanh(rot) * 1.594
+        elif dom_fn == "abs":
+            u_dom = np.abs(rot)
+            u_dom = (u_dom - u_dom.mean(0)) / u_dom.std(0)
+        elif dom_fn == "hermite2":
+            u_dom = (rot * rot - 1.0) / np.sqrt(2.0)
+            u_dom = (u_dom - u_dom.mean(0)) / u_dom.std(0)
+        else:
+            raise ValueError(f"unknown dom_fn: {dom_fn!r}")
         u_eff = np.sqrt(beta) * u_core + np.sqrt(1.0 - beta) * u_dom
         v_lat = rng.normal(0, 1, (n_items, lat)).astype(np.float32)
         p = 1.0 / (np.arange(n_items) + pop_offset)

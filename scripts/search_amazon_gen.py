@@ -110,6 +110,23 @@ TRIALS.update({
     "m10_dense_b35": dict(_M10, beta=0.35, n_users=1800),
 })
 
+# Round-3: non-absorbable domain components. The tanh rotation above is 96%
+# linearly correlated with its input, so with domain-disjoint items the
+# conflict is absorbable into per-item embeddings and joint saturates —
+# margins stayed at noise level (best +0.0015). `abs`/`hermite2` have zero
+# linear correlation: the per-category map must be expressed by the TOWER,
+# which is exactly the capacity MAMDR's specifics add per domain.
+TRIALS.update({
+    "m10_abs_b50": dict(_M10, beta=0.50, dom_fn="abs"),
+    "m10_abs_b30": dict(_M10, beta=0.30, dom_fn="abs"),
+    "m10_abs_b70": dict(_M10, beta=0.70, dom_fn="abs"),
+    "m10_herm_b50": dict(_M10, beta=0.50, dom_fn="hermite2"),
+    "m10_herm_b30": dict(_M10, beta=0.30, dom_fn="hermite2"),
+    # seed replicas: margin must exceed seed-to-seed variance (VERDICT r2 #1)
+    "m10_b30_n10_s18": dict(_M10, beta=0.30, noise=0.10, seed=18),
+    "m10_b30_n10_s19": dict(_M10, beta=0.30, noise=0.10, seed=19),
+})
+
 
 def log(msg):
     print(f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
@@ -127,10 +144,18 @@ def gen_raw(out, **knobs):
 def build_trial(name, knobs):
     trial_dir = osp.join(ROOT, name)
     split = osp.join(trial_dir, "split_by_category_6")
-    if osp.exists(osp.join(split, "domain_5", "train.csv")):
+    stamp = osp.join(trial_dir, "gen.json")
+    prev = json.load(open(stamp)) if osp.exists(stamp) else None
+    if osp.exists(osp.join(split, "domain_5", "train.csv")) and prev == knobs:
         return trial_dir
+    if prev is not None and prev != knobs:
+        log(f"{name}: knobs changed, wiping stale dataset")
+        shutil.rmtree(trial_dir, ignore_errors=True)
     raw = osp.join(trial_dir, "raw")
     gen_raw(raw, **knobs)
+    os.makedirs(trial_dir, exist_ok=True)
+    with open(stamp, "w") as f:
+        json.dump(knobs, f)
     from mamdr_tpu.data.etl import amazon
 
     amazon.split_to_domains({
@@ -215,6 +240,7 @@ def main():
                 res[model] = {"error": f"{type(e).__name__}: {e}"}
             with open(rp, "w") as f:
                 json.dump(results, f, indent=2)
+                f.write("\n")
         try:
             j = res["mlp"]["test"]["avg_auc"]
             s = res["mlp_separate"]["test"]["avg_auc"]
