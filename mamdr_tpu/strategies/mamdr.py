@@ -119,9 +119,14 @@ class MAMDRStrategy(MetaStrategy):
             )
         # Under a device mesh, lanes SHARD over the data axis (each device
         # trains n_domain/n_data query domains — embarrassingly parallel,
-        # docs/SCALING.md). Requires replicated tables (row-sharded lookups
-        # run inside shard_map, unexercised under vmap) and a divisible lane
-        # count; otherwise fall back to the mesh-verified sequential path.
+        # docs/SCALING.md) and requires a divisible lane count. Row-sharded
+        # FROZEN tables compose with the lanes: they are closure constants of
+        # the subset step, so every lane's lookup is the same unbatched
+        # shard_map masked-gather+psum under vmap (vmap-of-shard_map batches
+        # only the ids; pinned to the single-device trajectory in
+        # tests/test_mesh_dr_parallel.py). Row-sharded TRAINABLE tables stay
+        # sequential: the lane states would stack per-lane table copies whose
+        # (lane, table)-sharded scatter-add updates are unexercised.
         if t.mesh is not None:
             from mamdr_tpu.parallel.mesh import DATA_AXIS, TABLE_AXIS
 
@@ -135,15 +140,20 @@ class MAMDRStrategy(MetaStrategy):
             # disagree with what the lookup shards
             tshards = t.mesh.shape[TABLE_AXIS]
             min_rows = self.tc.sharded_lookup_min_rows
-            sharded_table = trees.named_tree_map(
+            sharded_trainable = trees.named_tree_map(
                 lambda n, x: "emb" in n and getattr(x, "ndim", 0) == 2
-                and x.shape[0] >= min_rows and x.shape[0] % tshards == 0,
+                and x.shape[0] >= min_rows and x.shape[0] % tshards == 0
+                and not (
+                    (not self.tc.emb_trainable)
+                    and ("user_emb" in n or "item_emb" in n)
+                ),
                 t.state.params,
             )
-            if any(jax.tree_util.tree_leaves(sharded_table)):
+            if any(jax.tree_util.tree_leaves(sharded_trainable)):
                 return ineligible(
-                    "an embedding table is row-sharded (shard_map lookups "
-                    "are unexercised under vmapped lanes)"
+                    "a TRAINABLE embedding table is row-sharded (lane-stacked "
+                    "sharded tables' scatter-add updates are unexercised "
+                    "under vmapped lanes; frozen row-sharded tables compose)"
                 )
         frozen = trees.named_tree_map(
             lambda n, x: (not self.tc.emb_trainable)

@@ -278,6 +278,13 @@ class Trainer:
     def _sample_batch(self):
         d0 = self.dataset.train[0]
         n = min(2, d0.n)
+        if self.mesh is not None:
+            # sharded lookups split ids over the mesh data axis; the init
+            # trace's sample batch must divide it
+            from mamdr_tpu.parallel.mesh import DATA_AXIS
+
+            n = max(n, self.mesh.shape[DATA_AXIS])
+        n = min(n, d0.n)
         return {
             "uid": jnp.asarray(d0.uid[:n]),
             "pid": jnp.asarray(d0.pid[:n]),
