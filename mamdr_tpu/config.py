@@ -196,6 +196,13 @@ class TrainConfig:
     # profile_dir != "" wraps each epoch in a jax.profiler trace.
     metrics_jsonl: bool = True
     profile_dir: str = ""
+    # TensorBoard scalar/histogram export (reference: Keras TensorBoard
+    # callback at log_dir=dirname(checkpoint_path), maml.py:42-45).
+    # tensorboard=True writes per-epoch val/test scalars; histogram_freq>0
+    # (the Keras knob above) additionally writes weight histograms every N
+    # val epochs and implies tensorboard. metrics.jsonl from past runs can
+    # be exported after the fact: python -m mamdr_tpu.utils.tb_export.
+    tensorboard: bool = False
     # Tables with at least this many rows use the row-sharded shard_map
     # lookup when the Trainer is given a mesh; smaller tables replicate.
     sharded_lookup_min_rows: int = 16384

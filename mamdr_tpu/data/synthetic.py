@@ -126,6 +126,18 @@ def generate_amazon_reviews(
         elif dom_fn == "hermite2":
             u_dom = (rot * rot - 1.0) / np.sqrt(2.0)
             u_dom = (u_dom - u_dom.mean(0)) / u_dom.std(0)
+        elif dom_fn == "noise":
+            # Fresh per-(user, category) preference component, independent of
+            # u_core: no shared model can predict it from other domains, and
+            # it varies per user so the (domain-exclusive) item table cannot
+            # absorb it either. Estimable only via per-user-per-domain
+            # parameters from that user's clicks in that category — pooled
+            # (joint) models must ignore it, per-domain models estimate it
+            # unshrunk, and shrunken per-domain estimation (MAMDR specifics /
+            # finetune-from-shared) is the statistically right call. This is
+            # the literal multi-domain-recommendation premise (arXiv:
+            # 2202.12524 §1: users behave differently across domains).
+            u_dom = rng.normal(0, 1, (n_users, lat)).astype(np.float32)
         else:
             raise ValueError(f"unknown dom_fn: {dom_fn!r}")
         u_eff = np.sqrt(beta) * u_core + np.sqrt(1.0 - beta) * u_dom

@@ -190,6 +190,15 @@ class Trainer:
             if tc.metrics_jsonl
             else None
         )
+        from mamdr_tpu.utils.logging import TensorBoardLogger
+
+        # Reference parity: Keras TensorBoard at dirname(checkpoint_path)
+        # (maml.py:21-23); histogram_freq>0 implies the writer.
+        self.tb = TensorBoardLogger(
+            osp.join(self.checkpoint_dir, "tensorboard"),
+            histogram_freq=tc.histogram_freq,
+            enabled=tc.tensorboard,
+        )
         self._eval_epoch_counter = 0
 
     # ---------------- fused helpers ----------------
@@ -409,7 +418,12 @@ class Trainer:
         self.metrics.log_eval(
             mode, self._eval_epoch_counter, avg_loss, avg_auc, domain_auc
         )
+        self.tb.log_eval(
+            mode, self._eval_epoch_counter, avg_loss, avg_auc, domain_auc,
+            weighted_auc=self.weighted_auc(mode, domain_auc),
+        )
         if mode == "val":
+            self.tb.log_histograms(self._eval_epoch_counter, self.state.params)
             self._eval_epoch_counter += 1
         if self.verbose:
             print(f"Loss: {domain_loss}")

@@ -127,6 +127,24 @@ TRIALS.update({
     "m10_b30_n10_s19": dict(_M10, beta=0.30, noise=0.10, seed=19),
 })
 
+# Wave 2: density sweep + the per-(user,domain) independent component.
+# Wave-1 verdict: at ~2.7 clicks/user/domain NOTHING per-domain is estimable
+# — every margin (tanh 3 seeds, abs, hermite2, all betas) sat inside the
+# ±0.003 seed noise; joint's full pooling is optimal when the per-domain
+# signal can't be estimated at all. The deciding variable is per-user-
+# per-domain clicks: dense enough that shrunken per-domain estimation beats
+# pooling (mamdr > joint), long-tailed enough that unshrunk estimation
+# loses it back (joint > separate on tails). dom_fn="noise" is the clean
+# mechanism: independent per-(user,category) preference, unpredictable by
+# any shared model, unabsorbable by domain-exclusive item embeddings.
+TRIALS.update({
+    "m10_noise_dense": dict(_M10, beta=0.50, dom_fn="noise", n_users=900),
+    "m10_noise_dense_b30": dict(_M10, beta=0.30, dom_fn="noise", n_users=900),
+    "m10_noise_vdense": dict(_M10, beta=0.50, dom_fn="noise", n_users=400),
+    "m10_abs_dense": dict(_M10, beta=0.40, dom_fn="abs", n_users=900),
+    "m10_tanh_dense": dict(_M10, beta=0.40, n_users=900),
+})
+
 
 def log(msg):
     print(f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
