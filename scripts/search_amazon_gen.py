@@ -194,6 +194,8 @@ def build_trial(name, knobs):
 
 
 def run_variant(trial_dir, model_name):
+    """model_name may carry train-config overrides after ':', e.g.
+    mlp_meta_mamdr_finetune:specific_init=zeros."""
     from mamdr_tpu.benchmarks import benchmark_config
     from mamdr_tpu.config import DatasetConfig
     from mamdr_tpu.data.dataset import MultiDomainDataset
@@ -205,9 +207,14 @@ def run_variant(trial_dir, model_name):
         name="Amazon", dataset_path=trial_dir,
         domain_split_path="split_by_category_6", batch_size=1024, seed=123,
     ))
+    model_name, *mods = model_name.split(":")
     cfg = benchmark_config("Amazon_6", model_name)
     cfg.train.epoch = EPOCH_CAP
     cfg.train.patience = PATIENCE
+    for m in mods:
+        k, v = m.split("=")
+        cur = getattr(cfg.train, k)
+        setattr(cfg.train, k, type(cur)(v) if cur is not None else v)
     cfg.train.checkpoint_path = osp.join(trial_dir, "ckpt")
     cfg.train.result_save_path = osp.join(trial_dir, "result")
     t0 = time.time()
@@ -243,7 +250,10 @@ def main():
         trial_dir = build_trial(name, knobs)
         log(f"{name}: dataset ready in {time.time()-t0:.0f}s")
         res = results.setdefault(name, {})
-        for model in ["mlp", "mlp_separate", "mlp_meta_mamdr_finetune"]:
+        models = os.environ.get(
+            "SEARCH_MODELS", "mlp,mlp_separate,mlp_meta_mamdr_finetune"
+        ).split(",")
+        for model in models:
             if model in res:
                 continue
             try:

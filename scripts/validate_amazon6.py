@@ -120,12 +120,14 @@ def run_model(model_name, dataset, results):
     elapsed = time.time() - t0
     w_auc = trainer.weighted_auc("test", domain_auc)
     log(f"{model_name}: test AUC {avg_auc:.4f} (weighted {w_auc:.4f}) in {elapsed:.0f}s")
+    from scripts._validate_common import timing_fields
+
     results[model_name] = {
         "avg_loss": avg_loss,
         "avg_auc": avg_auc,
         "weighted_auc": w_auc,
         "domain_auc": domain_auc,
-        "seconds": round(elapsed, 1),
+        **timing_fields(trainer, t0, elapsed),
     }
 
 
@@ -170,16 +172,21 @@ def main():
         "reference benchmark hyperparameters, early stop patience 10 (synthetic epochs are small), epoch cap "
         f"{EPOCH_CAP}.",
         "",
-        "| model | test AUC (macro) | weighted AUC | wall-clock |",
-        "|---|---|---|---|",
+        "| model | test AUC (macro) | weighted AUC | warmup (first epoch"
+        " incl. compile) | steady train+eval | total |",
+        "|---|---|---|---|---|---|",
     ]
+    from scripts._validate_common import timing_columns
+
     for name, r in results.items():
         if "error" in r:
-            lines.append(f"| {name} | FAILED: {r['error'][:60]} | — | — |")
+            lines.append(
+                f"| {name} | FAILED: {r['error'][:60]} | — | — | — | — |"
+            )
         else:
             lines.append(
                 f"| {name} | {r['avg_auc']:.4f} | {r['weighted_auc']:.4f} | "
-                f"{r['seconds']}s |"
+                f"{timing_columns(r)} |"
             )
     lines.append("")
     lines.append("Per-domain AUCs in validation_data/results.json.")

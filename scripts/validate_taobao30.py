@@ -151,9 +151,12 @@ def main():
             w = trainer.weighted_auc("test", domain_auc)
             log(f"{name}: test AUC {avg_auc:.4f} (weighted {w:.4f}) "
                 f"in {time.time()-t0:.0f}s")
+            from scripts._validate_common import timing_fields
+
             results[name] = {
                 "avg_auc": avg_auc, "weighted_auc": w,
-                "domain_auc": domain_auc, "seconds": round(time.time() - t0, 1),
+                "domain_auc": domain_auc,
+                **timing_fields(trainer, t0, time.time() - t0),
             }
         except Exception as e:
             log(f"{name} FAILED: {type(e).__name__}: {e}")
@@ -165,16 +168,21 @@ def main():
         "",
         "## Taobao-30-scale (the headline benchmark config, frozen pretrained 128-d embeddings)",
         "",
-        "| model | test AUC (macro) | weighted AUC | wall-clock |",
-        "|---|---|---|---|",
+        "| model | test AUC (macro) | weighted AUC | warmup (first epoch"
+        " incl. compile) | steady train+eval | total |",
+        "|---|---|---|---|---|---|",
     ]
+    from scripts._validate_common import timing_columns
+
     for name, r in results.items():
         if "error" in r:
-            lines.append(f"| {name} | FAILED: {r['error'][:60]} | — | — |")
+            lines.append(
+                f"| {name} | FAILED: {r['error'][:60]} | — | — | — | — |"
+            )
         else:
             lines.append(
                 f"| {name} | {r['avg_auc']:.4f} | {r['weighted_auc']:.4f} | "
-                f"{r['seconds']}s |"
+                f"{timing_columns(r)} |"
             )
     with open("/root/repo/VALIDATION.md", "a") as f:
         f.write("\n".join(lines) + "\n")
