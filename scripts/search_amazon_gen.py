@@ -145,6 +145,20 @@ TRIALS.update({
     "m10_tanh_dense": dict(_M10, beta=0.40, n_users=900),
 })
 
+# Wave 3: specific_init=zeros (the reference's random-offset specifics
+# measurably pollute the merged model on trainable-embedding data: rand ->
+# zeros improved MAMDR on ALL 9 wave-1/2 datasets, mean +0.002) turned the
+# hermite2/abs non-absorbable generators positive: herm_b50 +0.0043,
+# abs_b50 +0.0025 over joint. Seed replicas + beta response of the winner.
+TRIALS.update({
+    "m10_herm_b50_s18": dict(_M10, beta=0.50, dom_fn="hermite2", seed=18),
+    "m10_herm_b50_s19": dict(_M10, beta=0.50, dom_fn="hermite2", seed=19),
+    "m10_herm_b40": dict(_M10, beta=0.40, dom_fn="hermite2"),
+    "m10_herm_b60": dict(_M10, beta=0.60, dom_fn="hermite2"),
+    "m10_abs_b50_s18": dict(_M10, beta=0.50, dom_fn="abs", seed=18),
+    "m10_abs_b50_s19": dict(_M10, beta=0.50, dom_fn="abs", seed=19),
+})
+
 
 def log(msg):
     print(f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
