@@ -46,6 +46,7 @@ def enable_compile_cache():
 def main():
     import jax
 
+    _bench_start = time.time()
     enable_compile_cache()
 
     from mamdr_tpu.config import ExperimentConfig
@@ -149,6 +150,20 @@ def main():
     # (it was ~30% of the measurement once the parallel-lanes DR cut epoch
     # compute to ~0.25s).
     group, n_groups = 5, 3
+    # Warmup variance foot-gun (VERDICT r2 item 6): the remote compile
+    # service has compiled identical HLO in 120s and 396s twenty minutes
+    # apart. If warmup ate most of the BENCH_DEADLINE budget (the driver's
+    # conventional `timeout 590`), shrink the measurement so the JSON line
+    # still gets out — a slightly noisier number beats a killed run.
+    deadline = float(_os.environ.get("BENCH_DEADLINE", "570"))
+    remaining = deadline - (time.time() - _bench_start)
+    if remaining < 90:
+        group, n_groups = 2, 1
+        log(f"warmup consumed the budget ({remaining:.0f}s left) — "
+            f"shrinking to {n_groups}x{group} epochs")
+    elif remaining < 180:
+        group, n_groups = 5, 1
+        log(f"tight budget ({remaining:.0f}s left) — one 5-epoch group")
     log(f"measuring {n_groups} groups of {group} epochs (2 dispatches each)...")
     times = []
     for _ in range(n_groups):
