@@ -162,6 +162,35 @@ TRIALS.update({
     "m10_herm_b40_s18": dict(_M10, beta=0.40, dom_fn="hermite2", seed=18),
 })
 
+# Wave 4: steeper long tail (2.5x decay vs the campaign's ~1.6x). At FULL
+# scale the 1.6x-tail Amazon-6 head domains are all big enough that
+# separate training caught joint (campaign: separate 0.7558 > joint
+# 0.7520) — the paper's Amazon tails are far steeper. Steep tails starve
+# per-domain training (joint > separate) while MAMDR transfers into them.
+_STEEP = dict(_M10, sizes=[24000, 9600, 3800, 1500, 600, 240],
+              items=[600, 290, 140, 70, 35, 20])
+TRIALS.update({
+    "m10_steep_abs_b70": dict(_STEEP, beta=0.70, dom_fn="abs"),
+    "m10_steep_abs_b70_s18": dict(_STEEP, beta=0.70, dom_fn="abs", seed=18),
+    "m10_steep_abs_b70_s19": dict(_STEEP, beta=0.70, dom_fn="abs", seed=19),
+})
+
+# Wave 5: sparse users — the authentic MDR transfer mechanism. Steep tails
+# (wave 4) restored joint>separate but drowned MAMDR's margin in tiny-
+# domain noise. Real Amazon 5-core users have ~5-8 reviews TOTAL across
+# categories: a per-domain model sees 1-2 clicks/user (its user table is
+# hopeless), a joint model pools all of them (transfer), and the domain-
+# level conflict map stays learnable by per-domain towers from the whole
+# domain's data (MAMDR's capacity). 9500 users ~= 6 clicks/user at _M10
+# sizes (was 3500 users / 16 clicks/user).
+TRIALS.update({
+    "m10_sparse_abs_b70": dict(_M10, n_users=9500, beta=0.70, dom_fn="abs"),
+    "m10_sparse_abs_b70_s18": dict(_M10, n_users=9500, beta=0.70,
+                                   dom_fn="abs", seed=18),
+    "m10_sparse_abs_b70_s19": dict(_M10, n_users=9500, beta=0.70,
+                                   dom_fn="abs", seed=19),
+})
+
 
 def log(msg):
     print(f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
