@@ -191,6 +191,19 @@ TRIALS.update({
                                    dom_fn="abs", seed=19),
 })
 
+# Wave 6: PARTIAL steep — 4 big domains at the proven density (where the
+# abs-b70 conflict gives mamdr>joint) + 2 starving tails (where separate's
+# per-domain models collapse and MAMDR transfers). Full steep (wave 4)
+# drowned the margin; full sparse (wave 5) starved the conflict map; this
+# composition targets all three orderings at once.
+_PSTEEP = dict(_M10, sizes=[24000, 14000, 8500, 5200, 600, 180],
+               items=[600, 380, 250, 170, 35, 12])
+TRIALS.update({
+    "m10_psteep_abs_b70": dict(_PSTEEP, beta=0.70, dom_fn="abs"),
+    "m10_psteep_abs_b70_s18": dict(_PSTEEP, beta=0.70, dom_fn="abs", seed=18),
+    "m10_psteep_abs_b70_s19": dict(_PSTEEP, beta=0.70, dom_fn="abs", seed=19),
+})
+
 
 def log(msg):
     print(f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
