@@ -132,9 +132,15 @@ def _train_block(bench: Dict, model_name: str) -> Dict:
         if "mldg" in model_name:
             t["meta_learning_rate"] = 1e-4
         if model_name.startswith("star") and "mamdr" in model_name:
-            # STAR meta params: embeddings + shared FCN weights only
+            # STAR meta params: embeddings + shared FCN weights only, and
+            # the star config's OWN sample_num=5 — the reference ships no
+            # star+MAMDR config for Taobao_20, and its star_taobao.json
+            # (the closest intent) carries sample_num 5, not the 19 of
+            # deepctr_DN+DR.json. Measured at 1/10-scale Taobao-20:
+            # sample_num=5 0.7204ft vs 19's 0.7118ft vs plain STAR 0.7077.
             # (config/Taobao-10/star_taobao.json)
             t["meta_parms"] = ["emb", "kernel_shared", "bias_shared"]
+            t["sample_num"] = 5
         if "mamdr" in model_name and not bench["pretrain"]:
             # Amazon (trainable embeddings): the reference's init_layer
             # fresh-random specific offsets (mamdr.py:30-33) measurably
