@@ -163,19 +163,31 @@ def main():
         "Datasets are built at reference scale/statistics through the repo's",
         "own ETL (per-user negative sampling at seeded ctr ratios ~U[0.2,0.5],",
         "stratified 60/20/20, seed 123 — dataset/*/split.py recipe) from",
-        "synthesised raw inputs (zero-egress environment; latent-factor click",
-        "structure, long-tailed domain sizes, Taobao's frozen pretrained 128-d",
-        "embeddings carrying the signal). Hyperparameters are the reference",
-        "configs via mamdr_tpu.benchmarks (batch 1024, Adam 1e-3, meta-lr 0.1,",
-        "benchmark-specific DR sample_num (A6=3, T20=19, else 5) + query,",
-        "dropout 0.5, patience 3). MAMDR rows train with the parallel-lanes",
-        "DR phase (fused.make_fused_dr_parallel — the flagship TPU path;",
-        "learning-equivalent to the sequential reference schedule, see",
-        "PERF.md). Absolute AUCs are",
-        "therefore comparable across strategies within these datasets, and the",
-        "paper's ORDERING claims are the reproduction target (arXiv:2202.12524",
-        "Tables 2-3); paper-table absolute values require the proprietary raw",
-        "data.",
+        "synthesised raw inputs (zero-egress environment). Taobao: latent-",
+        "factor click log with frozen pretrained 128-d embeddings carrying",
+        "the signal. Amazon (trainable embeddings): shared user core + a",
+        "zero-linear-correlation per-category component (dom_fn=abs, beta",
+        "0.7) that domain-disjoint item tables CANNOT absorb, with 4 big",
+        "categories at conflict-learnable density and starving tails —",
+        "selected by the seed-replicated ordering-margin search",
+        "(search_amazon/*/results.json; scripts/search_amazon_gen.py).",
+        "Hyperparameters are the reference configs via mamdr_tpu.benchmarks",
+        "(batch 1024, Adam 1e-3, meta-lr 0.1, benchmark-specific DR",
+        "sample_num + query, dropout 0.5, patience 3); Amazon MAMDR uses",
+        "paper-semantics zero-initialised specifics (the reference's random",
+        "offsets measurably pollute merged models on trainable tables —",
+        "benchmarks.py) and STAR+MAMDR uses star_taobao.json's sample_num 5.",
+        "Taobao MAMDR rows train with the parallel-lanes DR phase",
+        "(fused.make_fused_dr_parallel — the flagship TPU path; learning-",
+        "equivalent to the sequential reference schedule, see PERF.md);",
+        "Amazon MAMDR rows run the sequential reference-shaped paths (TPU-",
+        "runtime incident isolation, campaign_others.py). Ordering checks",
+        "report the number the reference's save_result records — the",
+        "FINETUNED AUC for *_finetune variants (reference run.py:82-87).",
+        "Absolute AUCs are comparable across strategies within these",
+        "datasets, and the paper's ORDERING claims are the reproduction",
+        "target (arXiv:2202.12524 Tables 2-3); paper-table absolute values",
+        "require the proprietary raw data.",
         "",
     ]
 
