@@ -222,6 +222,48 @@ def main():
         )
         lines.append("")
 
+    def variance_block():
+        """Seed-variance analysis of the Amazon-6 margins (VERDICT r2 #1:
+        margins must exceed seed-to-seed variance)."""
+        vp = "/root/repo/variance_a6/results.json"
+        if not osp.exists(vp):
+            return []
+        v = json.load(open(vp))
+        mj, ms, per_seed = [], [], []
+        for seed in (17, 18, 19):
+            try:
+                j = v[f"s{seed}/mlp"]["test"]["avg_auc"]
+                s = v[f"s{seed}/mlp_separate"]["test"]["avg_auc"]
+                m = v[f"s{seed}/mlp_meta_mamdr_finetune"]
+                mf = m.get("finetune", m["test"])["avg_auc"]
+            except KeyError:
+                continue
+            mj.append(mf - j)
+            ms.append(mf - s)
+            per_seed.append(
+                f"| {seed} | {j:.4f} | {s:.4f} | {mf:.4f} "
+                f"| {mf-j:+.4f} | {mf-s:+.4f} |"
+            )
+        if len(mj) < 2:
+            return []
+        import statistics as st
+
+        return [
+            "",
+            "### Seed-variance analysis (full-scale generator seeds, "
+            "scripts/variance_amazon6.py)",
+            "",
+            "| seed | joint | separate | MAMDR (ft) | MAMDR−joint | "
+            "MAMDR−separate |",
+            "|---|---|---|---|---|---|",
+            *per_seed,
+            "",
+            f"MAMDR−joint margin: mean **{st.mean(mj):+.4f}**, "
+            f"std {st.stdev(mj):.4f}, positive on {sum(x>0 for x in mj)}/"
+            f"{len(mj)} seeds. MAMDR−separate: mean **{st.mean(ms):+.4f}**, "
+            f"std {st.stdev(ms):.4f}.",
+        ]
+
     others = load(OTHERS)
     if others:
         by_bench = {}
@@ -241,6 +283,8 @@ def main():
             checks = ordering_checks(dict(rows))
             if checks:
                 lines += ["", "Ordering checks:", ""] + checks
+            if bench == "Amazon_6":
+                lines += variance_block()
             lines.append("")
 
     with open(OUT, "w") as f:
