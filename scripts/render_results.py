@@ -227,6 +227,8 @@ def main():
         margins must exceed seed-to-seed variance)."""
         vp = "/root/repo/variance_a6/results.json"
         if not osp.exists(vp):
+            vp = osp.join(SNAPSHOTS, "variance_a6.results.json")
+        if not osp.exists(vp):
             return []
         v = json.load(open(vp))
         mj, ms, per_seed = [], [], []
