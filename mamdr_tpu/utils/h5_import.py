@@ -79,6 +79,59 @@ def _flatten_sorted(tree):
     return items
 
 
+def export_reference_weights(h5_path: str, model_params) -> None:
+    """Write the MODEL subtree as a reference-layout Keras .h5 (the inverse
+    of import_reference_weights), so weights trained HERE can be loaded by
+    the reference's load_model (base_model.py:180-182) for A/B on the same
+    graph. Covers the MLP family (embeddings + DNN + logit) and STAR FCN
+    leaves; other leaves are written under their flax path (importable by
+    this module, ignored by Keras name-matching loaders)."""
+    import h5py
+
+    ours = _flatten_sorted(model_params)
+    layers: List[Tuple[str, str, np.ndarray]] = []  # (layer, weight, value)
+    kernels = [(p, l) for p, l in ours if p.split("/")[-1] == "kernel"]
+    biases = [(p, l) for p, l in ours if p.split("/")[-1] == "bias"]
+    for path, leaf in ours:
+        base = path.split("/")[-1]
+        arr = np.asarray(leaf)
+        if base in _EMB_FIELDS:
+            lname = f"sparse_emb_{base}"
+            layers.append((lname, f"{lname}/{base}/embeddings:0", arr))
+        elif base == "kernel":
+            idx = [p for p, _ in kernels].index(path)
+            if idx < len(biases):
+                layers.append(("dnn", f"dnn/kernel{idx}:0", arr))
+            else:  # the bias-free logit head comes last in path order
+                layers.append(("dense", "dense/kernel:0", arr))
+        elif base == "bias":
+            idx = [p for p, _ in biases].index(path)
+            layers.append(("dnn", f"dnn/bias{idx}:0", arr))
+        elif base in ("kernel_shared", "bias_shared", "kernel_specific",
+                      "bias_specific"):
+            lname = ("auxiliary_net" if "auxiliary" in path.lower()
+                     else "star_fcn_" + path.split("/")[0].split("_")[-1])
+            layers.append((lname, f"{lname}/{base}:0", arr))
+        else:
+            layers.append(("flax_extra", f"flax_extra/{path}:0", arr))
+
+    grouped: Dict[str, List[Tuple[str, np.ndarray]]] = {}
+    order: List[str] = []
+    for lname, wname, arr in layers:
+        if lname not in grouped:
+            order.append(lname)
+        grouped.setdefault(lname, []).append((wname, arr))
+    with h5py.File(h5_path, "w") as f:
+        f.attrs["layer_names"] = [ln.encode() for ln in order]
+        for lname in order:
+            g = f.create_group(lname)
+            g.attrs["weight_names"] = [
+                wn.encode() for wn, _ in grouped[lname]
+            ]
+            for wn, arr in grouped[lname]:
+                g.create_dataset(wn, data=arr)
+
+
 def import_reference_weights(h5_path: str, model_params) -> Tuple[dict, dict]:
     """Returns (new_model_params, report). ``model_params`` is the MODEL
     subtree (``trainer.state.params["model"]``). Raises on shape mismatch of

@@ -109,6 +109,27 @@ def test_import_mlp(tmp_path):
     assert np.isfinite(loss) and 0.0 <= auc <= 1.0
 
 
+def test_export_import_roundtrip(tmp_path):
+    """export_reference_weights writes the reference Keras layout; importing
+    it back reproduces the tree bit-exactly (MLP family)."""
+    import jax
+    import numpy as np
+
+    from mamdr_tpu.utils.h5_import import export_reference_weights
+
+    t = make_trainer(tmp_path)
+    model = t.state.params["model"]
+    h5 = str(tmp_path / "export.h5")
+    export_reference_weights(h5, model)
+    new_model, report = import_reference_weights(h5, model)
+    for (pa, a), (pb, b) in zip(
+        jax.tree_util.tree_flatten_with_path(model)[0],
+        jax.tree_util.tree_flatten_with_path(new_model)[0],
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert not report["unmatched_flax"], report
+
+
 def test_import_shape_mismatch_raises(tmp_path):
     t = make_trainer(tmp_path)
     model = t.state.params["model"]
