@@ -141,6 +141,16 @@ def _train_block(bench: Dict, model_name: str) -> Dict:
             # (config/Taobao-10/star_taobao.json)
             t["meta_parms"] = ["emb", "kernel_shared", "bias_shared"]
             t["sample_num"] = 5
+        if ("mamdr" in model_name
+                and bench["domain_split_path"] == "split_by_category"):
+            # Amazon-13 recipe: cap each DR support run's query-
+            # regularization pass at 1 step (the reference's own
+            # domain_regulation_step knob, mamdr.py:92-99; shipped configs
+            # say 0 = uncapped). With 13 domains the uncapped query passes
+            # let the per-domain specifics overfit the small domains —
+            # per-domain probes (a13_recipe.json): uncapped 0.7109 < joint
+            # 0.7121; capped at 1 -> 0.7161, at 2 -> 0.7158.
+            t["domain_regulation_step"] = 1
         if "mamdr" in model_name and not bench["pretrain"]:
             # Amazon (trainable embeddings): the reference's init_layer
             # fresh-random specific offsets (mamdr.py:30-33) measurably
