@@ -54,6 +54,24 @@ def test_reference_hparams():
     assert cfg.train.meta_learning_rate == 1e-3
     assert cfg.train.meta_split == "meta-train/val"
 
+    # Round-3 recipe decisions (measured; see benchmarks.py comments):
+    # Amazon MAMDR uses paper-semantics zero specifics (the reference's
+    # random offsets pollute merged models on trainable tables); Amazon-13
+    # caps DR query-regularization at 1 step; STAR+MAMDR uses
+    # star_taobao.json's sample_num=5; Taobao keeps reference rand init.
+    a6 = benchmark_config("Amazon_6", "mlp_meta_mamdr_finetune")
+    assert a6.train.specific_init == "zeros"
+    assert a6.train.domain_regulation_step == 0
+    a13 = benchmark_config("Amazon_13", "mlp_meta_mamdr_finetune")
+    assert a13.train.specific_init == "zeros"
+    assert a13.train.domain_regulation_step == 1
+    t20 = benchmark_config("Taobao_20", "star_meta_mamdr_finetune")
+    assert t20.train.sample_num == 5
+    assert t20.train.specific_init == "random"
+    t30 = benchmark_config("Taobao_30", "mlp_meta_mamdr_finetune")
+    assert t30.train.specific_init == "random"
+    assert t30.train.sample_num == 5
+
 
 def test_unknown_benchmark_raises():
     with pytest.raises(ValueError):
