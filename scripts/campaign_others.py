@@ -294,6 +294,10 @@ def main():
 
     import jax
 
+    # axon deserializes the persistent cache (round-3 finding, PERF.md):
+    # restarted campaigns skip the minutes-long remote recompiles
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     log(f"devices: {jax.devices()}")
     results = {}
     rp = osp.join(ROOT, "results.json")

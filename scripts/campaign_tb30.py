@@ -232,6 +232,8 @@ def main():
 
     import jax
 
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     log(f"devices: {jax.devices()}")
 
     from mamdr_tpu.config import DatasetConfig
