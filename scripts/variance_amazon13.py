@@ -1,0 +1,149 @@
+"""Seed-variance analysis of the Amazon-13 MAMDR-vs-joint margin at FULL
+scale (companion to variance_amazon6.py; VERDICT r2 item 1's variance
+proviso). Builds the 13-category dataset at extra generator seeds and runs
+mlp + mlp_meta_mamdr_finetune with the campaign recipe (incl. the
+Amazon-13 domain_regulation_step=1 cap). TPU single-client: run alone.
+
+Run: nohup python scripts/variance_amazon13.py > /tmp/variance_a13.log 2>&1 &
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import os.path as osp
+import sys
+import time
+
+sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
+
+ROOT = "/root/repo/variance_a13"
+SEEDS = [18, 19]
+EPOCH_CAP = 25
+PATIENCE = 3
+VARIANTS = ["mlp", "mlp_meta_mamdr_finetune"]
+
+
+def log(msg):
+    print(f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
+
+
+def build(seed):
+    sys.path.insert(0, osp.dirname(osp.abspath(__file__)))
+    import campaign_others as c
+
+    from mamdr_tpu.data.etl import amazon
+    from mamdr_tpu.data.synthetic import generate_amazon_reviews
+
+    gen = dict(c.AMAZON_GEN)
+    gen["seed"] = seed
+    d = osp.join(ROOT, f"s{seed}")
+    split = osp.join(d, "split_by_category")
+    stamp = osp.join(d, "gen.json")
+    prev = json.load(open(stamp)) if osp.exists(stamp) else None
+    if not (osp.exists(osp.join(split, "domain_12", "train.csv"))
+            and prev == gen):
+        import shutil
+
+        shutil.rmtree(d, ignore_errors=True)
+        t0 = time.time()
+        cats = [f"Cat {i}" for i in range(13)]
+        generate_amazon_reviews(osp.join(d, "raw"), cat_names=cats, **gen)
+        amazon.split_to_domains({
+            "categories": cats,
+            "raw_data_path": osp.join(d, "raw"),
+            "split_save_path": split,
+            "processed_data_path": "processed_data",
+            "split_policy": "split_by_category",
+            "ctr_ratio": 0.5, "random_range": True,
+            "ctr_ratio_range": [0.2, 0.5],
+            "train_val_test": [0.6, 0.2, 0.2],
+            "seed": 123, "rebuild": False, "cores": 1,
+        })
+        with open(stamp, "w") as f:
+            json.dump(gen, f)
+        log(f"seed {seed}: dataset built in {time.time()-t0:.0f}s")
+    return d
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    os.makedirs(ROOT, exist_ok=True)
+    rp = osp.join(ROOT, "results.json")
+    results = json.load(open(rp)) if osp.exists(rp) else {}
+    log(f"devices: {jax.devices()}")
+
+    from mamdr_tpu.benchmarks import benchmark_config
+    from mamdr_tpu.config import DatasetConfig
+    from mamdr_tpu.data.dataset import MultiDomainDataset
+    from mamdr_tpu.strategies import build_strategy
+    from mamdr_tpu.train.trainer import Trainer
+
+    for seed in SEEDS:
+        d = build(seed)
+        dataset = MultiDomainDataset.from_disk(DatasetConfig(
+            name="Amazon", dataset_path=d,
+            domain_split_path="split_by_category", batch_size=1024, seed=123,
+        ))
+        for model in VARIANTS:
+            key = f"s{seed}/{model}"
+            if key in results:
+                continue
+            cfg = benchmark_config("Amazon_13", model)
+            cfg.train.epoch = EPOCH_CAP
+            cfg.train.patience = PATIENCE
+            cfg.train.dr_parallel = "off"
+            cfg.train.separate_fused = False
+            cfg.train.checkpoint_path = osp.join(d, "ckpt")
+            cfg.train.result_save_path = osp.join(d, "result")
+            t0 = time.time()
+            trainer = Trainer(cfg, dataset, verbose=False)
+            strat = build_strategy(trainer)
+            strat.train()
+            _, auc, _, dauc = strat.test()
+            out = {"test": {"avg_auc": auc,
+                            "weighted_auc": trainer.weighted_auc("test", dauc)}}
+            if strat.spec.finetune:
+                _, ft, _, ftd = strat.finetune()
+                out["finetune"] = {
+                    "avg_auc": ft,
+                    "weighted_auc": trainer.weighted_auc("test", ftd)}
+            out["seconds"] = round(time.time() - t0, 1)
+            results[key] = out
+            log(f"{key}: AUC {auc:.4f} in {out['seconds']}s")
+            with open(rp, "w") as f:
+                json.dump(results, f, indent=2)
+                f.write("\n")
+
+    camp = "/root/repo/campaign_others/results.json"
+    if osp.exists(camp):
+        c = json.load(open(camp))
+        for model in VARIANTS:
+            k = f"Amazon_13/{model}"
+            if k in c and "test" in c[k]:
+                results.setdefault(f"s17/{model}", c[k])
+    margins = []
+    for seed in [17] + SEEDS:
+        try:
+            j = results[f"s{seed}/mlp"]["test"]["avg_auc"]
+            m = results[f"s{seed}/mlp_meta_mamdr_finetune"]
+            mf = m.get("finetune", m["test"])["avg_auc"]
+            margins.append(mf - j)
+            log(f"seed {seed}: mamdr_ft-joint={mf-j:+.4f}")
+        except KeyError:
+            pass
+    import statistics as st
+
+    if len(margins) >= 2:
+        log(f"mamdr-joint margin: mean {st.mean(margins):+.4f} "
+            f"std {st.stdev(margins):.4f} over {len(margins)} seeds")
+    with open(rp, "w") as f:
+        json.dump(results, f, indent=2)
+        f.write("\n")
+
+
+if __name__ == "__main__":
+    main()
