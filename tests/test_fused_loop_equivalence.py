@@ -290,6 +290,50 @@ def test_fused_mamdr_dr_equals_loop(tmp_path):
         assert_trees_close(s1.specific[q], spec2[q])
     assert_trees_close(t1.state.params, t2.state.params)
 
+def test_fused_mamdr_dr_capped_equals_loop(tmp_path):
+    """domain_regulation_step > 0 (reference mamdr.py:92-99 caps each
+    support run's query-regularization pass) — the Amazon-13 recipe knob
+    (benchmarks.py) — is bit-equivalent between the fused DR phase and the
+    loop oracle."""
+    CAP = 2
+    AUX = np.asarray([[1, 2, 0], [2, 0, 1], [0, 1, 2]], np.int32)
+    extra = {"specific_init": "zeros", "sample_num": 2,
+             "add_query_domain": True, "domain_regulation_step": CAP}
+    t1, ds = make_trainer(tmp_path, 1, "mlp_meta_mamdr", extra)
+    s1 = MAMDRStrategy(t1)
+    shared1 = t1.state.params
+    for qi, q in enumerate(ORDER):
+        merged = s1.merge(shared1, s1.specific[q])
+        for a in AUX[qi]:
+            t1.state = t1.state.replace(
+                params=s1.load_meta(t1.state.params, merged)
+            )
+            t1.state, _ = t1.fit_domain(t1.state, int(a))
+            t1.state, _ = t1.fit_domain(t1.state, q, max_steps=CAP)
+            s1.specific[q] = s1.scaled_add_from(
+                s1.specific[q], t1.state.params, merged, 0.1
+            )
+            merged = s1.merge(shared1, s1.specific[q])
+
+    t2, _ = make_trainer(tmp_path, 2, "mlp_meta_mamdr", extra)
+    s2 = MAMDRStrategy(t2)
+    shared2 = t2.state.params
+    block, n_steps = fused.stack_domains_on_device(ds.train, BATCH)
+    _, dr_phase = fused.make_fused_mamdr(
+        t2.train_step_fn(), s2.mask, "plus", n_steps, BATCH,
+        domain_regulation_step=CAP, shuffle=False,
+    )
+    spec_stack = fused.stack_specific(s2.specific, s2.mask)
+    t2.state, spec_stack = dr_phase(
+        t2.state, shared2, spec_stack, block, np.asarray(ORDER, np.int32),
+        AUX, jax.random.PRNGKey(0), 0.1,
+    )
+    spec2 = fused.unstack_specific(spec_stack, s2.mask, 3)
+    for q in ORDER:
+        assert_trees_close(s1.specific[q], spec2[q])
+    assert_trees_close(t1.state.params, t2.state.params)
+
+
 def test_ragged_dn_equals_loop_dn(tmp_path):
     # Same oracle as test_fused_dn_equals_loop_dn, but the fused pass is the
     # RAGGED flattened scan (steps_list given): one scan over sum(steps) real
