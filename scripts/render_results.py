@@ -222,12 +222,12 @@ def main():
         )
         lines.append("")
 
-    def variance_block():
-        """Seed-variance analysis of the Amazon-6 margins (VERDICT r2 #1:
+    def variance_block(tag, with_separate):
+        """Seed-variance analysis of the Amazon margins (VERDICT r2 #1:
         margins must exceed seed-to-seed variance)."""
-        vp = "/root/repo/variance_a6/results.json"
+        vp = f"/root/repo/variance_{tag}/results.json"
         if not osp.exists(vp):
-            vp = osp.join(SNAPSHOTS, "variance_a6.results.json")
+            vp = osp.join(SNAPSHOTS, f"variance_{tag}.results.json")
         if not osp.exists(vp):
             return []
         v = json.load(open(vp))
@@ -235,35 +235,53 @@ def main():
         for seed in (17, 18, 19):
             try:
                 j = v[f"s{seed}/mlp"]["test"]["avg_auc"]
-                s = v[f"s{seed}/mlp_separate"]["test"]["avg_auc"]
                 m = v[f"s{seed}/mlp_meta_mamdr_finetune"]
                 mf = m.get("finetune", m["test"])["avg_auc"]
+                s = (v[f"s{seed}/mlp_separate"]["test"]["avg_auc"]
+                     if with_separate else None)
             except KeyError:
                 continue
             mj.append(mf - j)
-            ms.append(mf - s)
-            per_seed.append(
-                f"| {seed} | {j:.4f} | {s:.4f} | {mf:.4f} "
-                f"| {mf-j:+.4f} | {mf-s:+.4f} |"
-            )
+            if with_separate:
+                ms.append(mf - s)
+                per_seed.append(
+                    f"| {seed} | {j:.4f} | {s:.4f} | {mf:.4f} "
+                    f"| {mf-j:+.4f} | {mf-s:+.4f} |"
+                )
+            else:
+                per_seed.append(
+                    f"| {seed} | {j:.4f} | {mf:.4f} | {mf-j:+.4f} |"
+                )
         if len(mj) < 2:
             return []
         import statistics as st
 
+        header = (
+            ["| seed | joint | separate | MAMDR (ft) | MAMDR−joint | "
+             "MAMDR−separate |", "|---|---|---|---|---|---|"]
+            if with_separate
+            else ["| seed | joint | MAMDR (ft) | MAMDR−joint |",
+                  "|---|---|---|---|"]
+        )
+        summary = (
+            f"MAMDR−joint margin: mean **{st.mean(mj):+.4f}**, "
+            f"std {st.stdev(mj):.4f}, positive on {sum(x>0 for x in mj)}/"
+            f"{len(mj)} seeds."
+        )
+        if with_separate:
+            summary += (
+                f" MAMDR−separate: mean **{st.mean(ms):+.4f}**, "
+                f"std {st.stdev(ms):.4f}."
+            )
         return [
             "",
             "### Seed-variance analysis (full-scale generator seeds, "
-            "scripts/variance_amazon6.py)",
+            f"scripts/variance_amazon{tag[1:]}.py)",
             "",
-            "| seed | joint | separate | MAMDR (ft) | MAMDR−joint | "
-            "MAMDR−separate |",
-            "|---|---|---|---|---|---|",
+            *header,
             *per_seed,
             "",
-            f"MAMDR−joint margin: mean **{st.mean(mj):+.4f}**, "
-            f"std {st.stdev(mj):.4f}, positive on {sum(x>0 for x in mj)}/"
-            f"{len(mj)} seeds. MAMDR−separate: mean **{st.mean(ms):+.4f}**, "
-            f"std {st.stdev(ms):.4f}.",
+            summary,
         ]
 
     others = load(OTHERS)
@@ -286,7 +304,9 @@ def main():
             if checks:
                 lines += ["", "Ordering checks:", ""] + checks
             if bench == "Amazon_6":
-                lines += variance_block()
+                lines += variance_block("a6", with_separate=True)
+            elif bench == "Amazon_13":
+                lines += variance_block("a13", with_separate=False)
             lines.append("")
 
     with open(OUT, "w") as f:
