@@ -284,6 +284,42 @@ def main():
             summary,
         ]
 
+    def star_variance_block():
+        """Seed-variance of the Taobao-20 STAR+MAMDR >= STAR margin."""
+        vp = "/root/repo/variance_t20/results.json"
+        if not osp.exists(vp):
+            vp = osp.join(SNAPSHOTS, "variance_t20.results.json")
+        if not osp.exists(vp):
+            return []
+        v = json.load(open(vp))
+        margins, per_seed = [], []
+        for seed in (11, 12, 13):
+            try:
+                j = v[f"s{seed}/star"]["test"]["avg_auc"]
+                m = v[f"s{seed}/star_meta_mamdr_finetune"]
+                mf = m.get("finetune", m["test"])["avg_auc"]
+            except KeyError:
+                continue
+            margins.append(mf - j)
+            per_seed.append(f"| {seed} | {j:.4f} | {mf:.4f} | {mf-j:+.4f} |")
+        if len(margins) < 2:
+            return []
+        import statistics as st
+
+        return [
+            "",
+            "### Seed-variance analysis (full-scale generator seeds, "
+            "scripts/variance_taobao20.py)",
+            "",
+            "| seed | STAR | STAR+MAMDR (ft) | margin |",
+            "|---|---|---|---|",
+            *per_seed,
+            "",
+            f"STAR+MAMDR−STAR margin: mean **{st.mean(margins):+.4f}**, "
+            f"std {st.stdev(margins):.4f}, positive on "
+            f"{sum(x>0 for x in margins)}/{len(margins)} seeds.",
+        ]
+
     others = load(OTHERS)
     if others:
         by_bench = {}
@@ -307,6 +343,8 @@ def main():
                 lines += variance_block("a6", with_separate=True)
             elif bench == "Amazon_13":
                 lines += variance_block("a13", with_separate=False)
+            elif bench == "Taobao_20":
+                lines += star_variance_block()
             lines.append("")
 
     with open(OUT, "w") as f:
