@@ -212,7 +212,7 @@ def run_variant(bench, model_name, dataset, results):
         # Amazon MAMDR runs the sequential reference-shaped paths. History:
         # r2 saw a TPU worker crash + a corrupted lane table at trainable-
         # table lane shapes (CPU repros clean). A round-3 retest
-        # (/tmp/retest_lanes.log) ran the Amazon_6 parallel lanes CLEAN —
+        # (campaign_snapshots/retest_amazon_lanes.log) ran Amazon_6 lanes CLEAN —
         # the incidents were the flaky chip — but the parallel lineage
         # scored slightly below sequential here (0.7168 vs 0.7190 ft), so
         # the REPORTED Amazon rows stay on the sequential schedule the
