@@ -213,7 +213,12 @@ def main():
             "(~7.6k train rows) has enough data to fit its tower — the paper's "
             "joint>separate result relies on real Taobao tail domains being far "
             "sparser/noisier. The load-bearing claim — MAMDR beats BOTH joint "
-            "and separate — reproduces.",
+            "and separate — reproduces. Round 3 deliberately did NOT re-roll "
+            "the Taobao generator to add starving tails (the fix that made "
+            "joint>separate pass on Amazon-6): Taobao-10/20/30 all build from "
+            "this one raw log, so a re-roll would invalidate every Taobao row "
+            "— including the passing STAR+MAMDR and MAMDR results above — to "
+            "flip one non-load-bearing check.",
         ]
         lines += ["", "### Per-domain test AUC (headline strategies)", ""]
         lines += per_domain_table(
