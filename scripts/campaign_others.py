@@ -70,11 +70,37 @@ AMAZON_GEN = dict(
            1_800, 1_400, 1_100, 850, 650, 500, 380],
 )
 
+# Round 4 (VERDICT item 2): every reference config family gets a row.
+# Reference corpus: config/<bench>/{deepctr,deepctr_DN,deepctr_DN+DR,mmoe,
+# ple,shared_bottom,star*}.json (+ Taobao-10's six strategy configs:
+# maml/mldg/pcgrad/reptile/uncertainty_weight at that benchmark). The zoo
+# joint rows (wdl/nfm/autoint/ccpm/pnn) run on Amazon_6 — trainable
+# embeddings exercise the FM/attention/conv feature interactions.
 MATRIX = {
-    "Amazon_6": ["mlp", "mlp_separate", "mlp_meta_mamdr_finetune"],
-    "Amazon_13": ["deepfm", "mlp", "mlp_meta_mamdr_finetune"],
-    "Taobao-10": ["mmoe", "ple", "mlp", "mlp_meta_mamdr_finetune"],
-    "Taobao_20": ["star", "mlp", "star_meta_mamdr_finetune"],
+    "Amazon_6": [
+        "mlp", "mlp_separate", "mlp_meta_mamdr_finetune",
+        "mlp_meta_domain_negotiation_finetune",
+        "mmoe", "ple", "shared_bottom", "star",
+        "wdl", "nfm", "autoint", "ccpm", "pnn",
+    ],
+    "Amazon_13": [
+        "deepfm", "mlp", "mlp_meta_mamdr_finetune",
+        "mlp_meta_domain_negotiation_finetune",
+        "mmoe", "ple", "shared_bottom", "star",
+    ],
+    "Taobao-10": [
+        "mmoe", "ple", "mlp", "mlp_meta_mamdr_finetune",
+        "mlp_meta_domain_negotiation_finetune",
+        "mlp_meta_maml_finetune", "mlp_meta_mldg_finetune",
+        "mlp_meta_reptile_finetune", "mlp_pcgrad",
+        "mlp_uncertainty_weight", "shared_bottom", "star",
+    ],
+    "Taobao_20": [
+        "star", "mlp", "star_meta_mamdr_finetune",
+        "mlp_meta_mamdr_finetune",
+        "mlp_meta_domain_negotiation_finetune",
+        "mmoe", "ple", "shared_bottom",
+    ],
 }
 
 
