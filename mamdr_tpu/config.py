@@ -203,6 +203,10 @@ class TrainConfig:
     # val epochs and implies tensorboard. metrics.jsonl from past runs can
     # be exported after the fact: python -m mamdr_tpu.utils.tb_export.
     tensorboard: bool = False
+    # With histogram_freq>0, also write GRADIENT histograms (of the loss on
+    # a sample batch) — the reference's Keras callback passes
+    # write_grads=True (maml.py:42-45), so this defaults on.
+    write_grads: bool = True
     # Tables with at least this many rows use the row-sharded shard_map
     # lookup when the Trainer is given a mesh; smaller tables replicate.
     sharded_lookup_min_rows: int = 16384

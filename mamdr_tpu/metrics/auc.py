@@ -35,16 +35,26 @@ class AucState(NamedTuple):
     false_negatives: jax.Array  # [T]
 
 
-def auc_thresholds(num_thresholds: int = 500) -> jax.Array:
-    """Threshold vector incl. the +/- epsilon endpoints (utils/auc.py:110-126)."""
-    if num_thresholds <= 1:
-        raise ValueError("num_thresholds must be > 1")
-    inner = [(i + 1) * 1.0 / (num_thresholds - 1) for i in range(num_thresholds - 2)]
+def auc_thresholds(num_thresholds: int = 500, thresholds=None) -> jax.Array:
+    """Threshold vector incl. the +/- epsilon endpoints (utils/auc.py:110-126).
+
+    ``thresholds``: optional explicit list of values in [0,1]; when given it
+    overrides ``num_thresholds`` (reference utils/auc.py:110-113 — the
+    supplied values are sorted and the two epsilon endpoints appended).
+    """
+    if thresholds is not None:
+        inner = sorted(float(t) for t in thresholds)
+    else:
+        if num_thresholds <= 1:
+            raise ValueError("num_thresholds must be > 1")
+        inner = [(i + 1) * 1.0 / (num_thresholds - 1)
+                 for i in range(num_thresholds - 2)]
     return jnp.asarray([0.0 - _K_EPSILON] + inner + [1.0 + _K_EPSILON], jnp.float32)
 
 
-def auc_init(num_thresholds: int = 500) -> AucState:
-    z = jnp.zeros((num_thresholds,), jnp.float32)
+def auc_init(num_thresholds: int = 500, thresholds=None) -> AucState:
+    n = (len(thresholds) + 2) if thresholds is not None else num_thresholds
+    z = jnp.zeros((n,), jnp.float32)
     return AucState(z, z, z, z)
 
 
@@ -54,6 +64,7 @@ def auc_update(
     y_pred: jax.Array,
     weight: jax.Array | None = None,
     num_thresholds: int = 500,
+    thresholds=None,
 ) -> AucState:
     """Accumulate confusion-matrix counts for a batch.
 
@@ -61,7 +72,7 @@ def auc_update(
     Semantics per reference utils/metrics_utils.py:203-207:
     positive prediction is ``pred > threshold`` (strict).
     """
-    thr = auc_thresholds(num_thresholds)
+    thr = auc_thresholds(num_thresholds, thresholds)
     y_true = jnp.ravel(y_true).astype(jnp.float32)
     y_pred = jnp.ravel(y_pred).astype(jnp.float32)
     w = jnp.ones_like(y_pred) if weight is None else jnp.ravel(weight).astype(jnp.float32)
@@ -89,13 +100,70 @@ def _div_no_nan(a: jax.Array, b: jax.Array) -> jax.Array:
     return jnp.where(b == 0.0, 0.0, a / jnp.where(b == 0.0, 1.0, b))
 
 
-def auc_result(state: AucState) -> jax.Array:
-    """ROC-AUC via interpolation summation (reference utils/auc.py:249-281)."""
+def interpolate_pr_auc(state: AucState) -> jax.Array:
+    """PR-AUC via the Davis & Goadrich 2006 closed-form interpolation
+    (reference utils/auc.py:179-246): TP and P=TP+FP vary linearly within
+    each threshold interval, giving per-interval area
+    ``slope * (dTP + intercept * log(P_hi/P_lo)) / total_pos``."""
+    tp, fp, fn = state.true_positives, state.false_positives, state.false_negatives
+    dtp = tp[:-1] - tp[1:]
+    p = tp + fp
+    dp = p[:-1] - p[1:]
+    prec_slope = _div_no_nan(dtp, jnp.maximum(dp, 0.0))
+    intercept = tp[1:] - prec_slope * p[1:]
+    safe_p_ratio = jnp.where(
+        (p[:-1] > 0) & (p[1:] > 0),
+        _div_no_nan(p[:-1], jnp.maximum(p[1:], 0.0)),
+        jnp.ones_like(p[1:]),
+    )
+    return jnp.sum(
+        _div_no_nan(
+            prec_slope * (dtp + intercept * jnp.log(safe_p_ratio)),
+            jnp.maximum(tp[1:] + fn[1:], 0.0),
+        )
+    )
+
+
+def auc_result(
+    state: AucState,
+    curve: str = "ROC",
+    summation_method: str = "interpolation",
+) -> jax.Array:
+    """AUC via Riemann summation (reference utils/auc.py:248-281).
+
+    curve: 'ROC' (x=FPR, y=recall) or 'PR' (x=recall, y=precision).
+    summation_method: 'interpolation' (midpoint; for PR it switches to the
+    Davis & Goadrich closed form, utils/auc.py:249-253), 'minoring' (lower
+    bound: min of interval endpoints), 'majoring' (upper bound: max).
+    """
+    curve = curve.upper()
+    summation_method = summation_method.lower()
+    if curve not in ("ROC", "PR"):
+        raise ValueError(f"invalid curve {curve!r}; options: ROC, PR")
+    if summation_method not in ("interpolation", "minoring", "majoring"):
+        raise ValueError(
+            f"invalid summation method {summation_method!r}; "
+            "options: interpolation, minoring, majoring"
+        )
+    if curve == "PR" and summation_method == "interpolation":
+        return interpolate_pr_auc(state)
     recall = _div_no_nan(
         state.true_positives, state.true_positives + state.false_negatives
     )
-    fp_rate = _div_no_nan(
-        state.false_positives, state.false_positives + state.true_negatives
-    )
-    heights = (recall[:-1] + recall[1:]) / 2.0
-    return jnp.sum((fp_rate[:-1] - fp_rate[1:]) * heights)
+    if curve == "ROC":
+        x = _div_no_nan(
+            state.false_positives, state.false_positives + state.true_negatives
+        )
+        y = recall
+    else:  # PR
+        x = recall
+        y = _div_no_nan(
+            state.true_positives, state.true_positives + state.false_positives
+        )
+    if summation_method == "interpolation":
+        heights = (y[:-1] + y[1:]) / 2.0
+    elif summation_method == "minoring":
+        heights = jnp.minimum(y[:-1], y[1:])
+    else:  # majoring
+        heights = jnp.maximum(y[:-1], y[1:])
+    return jnp.sum((x[:-1] - x[1:]) * heights)

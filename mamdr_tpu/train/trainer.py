@@ -198,6 +198,7 @@ class Trainer:
             osp.join(self.checkpoint_dir, "tensorboard"),
             histogram_freq=tc.histogram_freq,
             enabled=tc.tensorboard,
+            write_grads=tc.write_grads,
         )
         self._eval_epoch_counter = 0
 
@@ -292,8 +293,14 @@ class Trainer:
             # trace's sample batch must divide it
             from mamdr_tpu.parallel.mesh import DATA_AXIS
 
-            n = max(n, self.mesh.shape[DATA_AXIS])
-        n = min(n, d0.n)
+            shards = self.mesh.shape[DATA_AXIS]
+            if d0.n < shards:
+                raise ValueError(
+                    f"domain 0 has {d0.n} train rows but the mesh data axis "
+                    f"has {shards} shards; the init-trace sample batch must "
+                    "divide the data axis — use a smaller mesh or more data"
+                )
+            n = max(n, shards)
         return {
             "uid": jnp.asarray(d0.uid[:n]),
             "pid": jnp.asarray(d0.pid[:n]),
@@ -301,6 +308,19 @@ class Trainer:
             "label": jnp.asarray(d0.label[:n]),
             "weight": jnp.ones((n,), jnp.float32),
         }
+
+    def _sample_grads(self):
+        """Loss gradients on a sample batch, for write_grads histograms
+        (reference maml.py:42-45 Keras write_grads=True semantics)."""
+        import jax
+
+        batch = self._sample_batch()
+        grad_fn = jax.grad(
+            lambda p: self.loss_fn(
+                p, self.state.batch_stats, batch, jax.random.PRNGKey(0), False
+            )[0]
+        )
+        return grad_fn(self.state.params)
 
     def stack_train_epoch(
         self, domain_idx: int, split: Optional[DomainSplit] = None,
@@ -418,12 +438,17 @@ class Trainer:
         self.metrics.log_eval(
             mode, self._eval_epoch_counter, avg_loss, avg_auc, domain_auc
         )
-        self.tb.log_eval(
-            mode, self._eval_epoch_counter, avg_loss, avg_auc, domain_auc,
-            weighted_auc=self.weighted_auc(mode, domain_auc),
-        )
+        if self.tb.enabled:  # don't pay weighted_auc when TB is off (advisor r3)
+            self.tb.log_eval(
+                mode, self._eval_epoch_counter, avg_loss, avg_auc, domain_auc,
+                weighted_auc=self.weighted_auc(mode, domain_auc),
+            )
         if mode == "val":
             self.tb.log_histograms(self._eval_epoch_counter, self.state.params)
+            if self.tb.write_grads:
+                self.tb.log_grad_histograms(
+                    self._eval_epoch_counter, self._sample_grads()
+                )
             self._eval_epoch_counter += 1
         if self.verbose:
             print(f"Loss: {domain_loss}")

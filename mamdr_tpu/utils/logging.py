@@ -59,13 +59,25 @@ class TensorBoardLogger:
     """
 
     def __init__(self, logdir: Optional[str], histogram_freq: int = 0,
-                 enabled: bool = False):
+                 enabled: bool = False, write_grads: bool = False):
         self.histogram_freq = int(histogram_freq)
         self.enabled = bool(enabled) or self.histogram_freq > 0
+        self.write_grads = bool(write_grads) and self.histogram_freq > 0
         self.logdir = logdir
         self._writer = None
         if self.enabled and not logdir:
             raise ValueError("TensorBoardLogger enabled without a logdir")
+        if self.enabled:
+            # fail fast at config time, not at the first log_eval deep in a
+            # run after the expensive warmup/compile (advisor r3)
+            import importlib.util
+
+            if importlib.util.find_spec("torch") is None:
+                raise ImportError(
+                    "train.tensorboard/histogram_freq requires torch "
+                    "(torch.utils.tensorboard.SummaryWriter) which is not "
+                    "installed"
+                )
 
     @property
     def writer(self):
@@ -104,6 +116,25 @@ class TensorBoardLogger:
                 str(getattr(p, "key", getattr(p, "idx", p))) for p in path
             )
             w.add_histogram(name, np.asarray(leaf), epoch)
+        w.flush()
+
+    def log_grad_histograms(self, epoch: int, grads) -> None:
+        """Gradient histograms every ``histogram_freq`` val epochs —
+        reference maml.py:42-45 passes write_grads=True to the Keras
+        TensorBoard callback. ``grads`` is a pytree of arrays (the loss
+        gradient on a sample batch); leaves log as ``grad/<param path>``."""
+        if not self.write_grads or epoch % self.histogram_freq != 0:
+            return
+        import jax
+        import numpy as np
+
+        w = self.writer
+        flat = jax.tree_util.tree_flatten_with_path(grads)[0]
+        for path, leaf in flat:
+            name = "/".join(
+                str(getattr(p, "key", getattr(p, "idx", p))) for p in path
+            )
+            w.add_histogram(f"grad/{name}", np.asarray(leaf), epoch)
         w.flush()
 
     def close(self) -> None:

@@ -14,13 +14,14 @@ from __future__ import annotations
 import json
 import os.path as osp
 
-TB = "/root/repo/campaign_tb30/results.json"
-OTHERS = "/root/repo/campaign_others/results.json"
+REPO = osp.dirname(osp.dirname(osp.abspath(__file__)))
+TB = osp.join(REPO, "campaign_tb30/results.json")
+OTHERS = osp.join(REPO, "campaign_others/results.json")
 # Tracked mirrors: campaign working dirs are untracked and have been wiped
 # by session resets before — the campaigns copy results.json here, and the
 # renderer falls back to these when the live files are gone.
-SNAPSHOTS = "/root/repo/campaign_snapshots"
-OUT = "/root/repo/RESULTS.md"
+SNAPSHOTS = osp.join(REPO, "campaign_snapshots")
+OUT = osp.join(REPO, "RESULTS.md")
 
 PRETTY = {
     "mlp": "MLP (joint)",
@@ -230,7 +231,7 @@ def main():
     def variance_block(tag, with_separate):
         """Seed-variance analysis of the Amazon margins (VERDICT r2 #1:
         margins must exceed seed-to-seed variance)."""
-        vp = f"/root/repo/variance_{tag}/results.json"
+        vp = osp.join(REPO, f"variance_{tag}/results.json")
         if not osp.exists(vp):
             vp = osp.join(SNAPSHOTS, f"variance_{tag}.results.json")
         if not osp.exists(vp):
@@ -291,7 +292,7 @@ def main():
 
     def star_variance_block():
         """Seed-variance of the Taobao-20 STAR+MAMDR >= STAR margin."""
-        vp = "/root/repo/variance_t20/results.json"
+        vp = osp.join(REPO, "variance_t20/results.json")
         if not osp.exists(vp):
             vp = osp.join(SNAPSHOTS, "variance_t20.results.json")
         if not osp.exists(vp):

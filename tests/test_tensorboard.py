@@ -77,6 +77,22 @@ def test_histogram_freq_honored(tmp_path):
     assert "val/avg_auc" in set(acc.Tags()["scalars"])
 
 
+def test_write_grads_histograms(tmp_path):
+    """histogram_freq>0 + write_grads emits GRADIENT histograms (reference
+    maml.py:42-45 passes write_grads=True to the Keras callback)."""
+    t = _train(tmp_path, histogram_freq=1)  # write_grads defaults True
+    acc = _accumulate(osp.join(t.checkpoint_dir, "tensorboard"))
+    hists = acc.Tags()["histograms"]
+    grad_tags = [h for h in hists if h.startswith("grad/")]
+    assert grad_tags, hists
+    assert any("user_emb" in h for h in grad_tags), grad_tags
+    # and the knob turns them off
+    t2 = _train(tmp_path / "off", histogram_freq=1, write_grads=False)
+    acc2 = _accumulate(osp.join(t2.checkpoint_dir, "tensorboard"))
+    assert not [h for h in acc2.Tags()["histograms"]
+                if h.startswith("grad/")]
+
+
 def test_tensorboard_off_by_default(tmp_path):
     t = _train(tmp_path)
     assert not t.tb.enabled
