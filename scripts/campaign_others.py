@@ -118,11 +118,13 @@ def save_results(results, root):
 
     with open(_osp.join(root, "results.json"), "w") as f:
         _json.dump(results, f, indent=2)
+        f.write("\n")
     snap_dir = "/root/repo/campaign_snapshots"
     _os.makedirs(snap_dir, exist_ok=True)
     snap = _osp.join(snap_dir, _osp.basename(root.rstrip("/")) + ".results.json")
     with open(snap, "w") as f:
         _json.dump(results, f, indent=2)
+        f.write("\n")
 
 
 def build_amazon_raw():
