@@ -325,7 +325,14 @@ def main():
             loaded = {}
         results = {k: v for k, v in loaded.items() if not k.startswith("_")}
     results["_taobao_gen"] = gen_recipe()
-    for name in VARIANTS:
+    variants = VARIANTS
+    for a in sys.argv[1:]:
+        if a.startswith("--variants="):
+            variants = a.split("=", 1)[1].split(",")
+            unknown = [v for v in variants if v not in VARIANTS]
+            if unknown:
+                raise SystemExit(f"unknown variants: {unknown}")
+    for name in variants:
         if name in results and "error" not in results.get(name, {}):
             log(f"skip {name} (done)")
             continue
