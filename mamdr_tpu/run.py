@@ -54,7 +54,18 @@ if __name__ == "__main__":
         "--resume", action="store_true",
         help="Resume from the config's restart-safe snapshot (train.resume)",
     )
+    parser.add_argument(
+        "--platform", type=str, default=None,
+        help="Force a JAX platform (e.g. 'cpu'). Needed under environments "
+        "whose sitecustomize pins JAX_PLATFORMS before the interpreter "
+        "starts — jax.config.update after import is the only override "
+        "that sticks (tests/conftest.py uses the same mechanism)",
+    )
     args = parser.parse_args()
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
     if args.list_benchmarks:
         from mamdr_tpu.benchmarks import list_configs
 

@@ -25,7 +25,7 @@ sys.path.insert(0, REPO)
 
 CAMP = osp.join(REPO, "campaign_others")
 ROOT = osp.join(REPO, "campaign_lanes")
-EPOCH_CAP = 25
+EPOCH_CAP = int(os.environ.get("CAMPAIGN_EPOCHS", 50))  # early stop decides; cap is a safety bound
 PATIENCE = 3
 BENCHES = {
     "Amazon_6": "split_by_category_6",
@@ -87,6 +87,8 @@ def main():
             strat = build_strategy(trainer)
             assert strat._dr_parallel_eligible(), "lane gate refused 'on'?"
             strat.train()
+            entry["early_stopped"] = bool(trainer.stopper.early_stop)
+            entry["epoch_cap"] = EPOCH_CAP
             _, auc, _, dauc = strat.test()
             entry["test"] = {
                 "avg_auc": auc,

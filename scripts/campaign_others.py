@@ -30,7 +30,7 @@ sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
 
 ROOT = "/root/repo/campaign_others"
 TB_ROOT = "/root/repo/campaign_tb30"
-EPOCH_CAP = 25
+EPOCH_CAP = int(os.environ.get("CAMPAIGN_EPOCHS", 100))  # early stop decides; the cap is a safety bound
 PATIENCE = 3
 
 CATS = [f"Cat {i}" for i in range(13)]
@@ -262,6 +262,11 @@ def run_variant(bench, model_name, dataset, results):
             )
         else:
             strat.train()
+            # reference protocol is early-stop (epoch bound 99999,
+            # base_model.py:202-224); a row that hits OUR cap instead is
+            # undertrained — flag it so the renderer/reruns can see
+            entry["early_stopped"] = bool(trainer.stopper.early_stop)
+            entry["epoch_cap"] = EPOCH_CAP
             _, avg_auc, _, domain_auc = strat.test()
         entry["test"] = {
             "avg_auc": avg_auc,

@@ -29,7 +29,7 @@ import pandas as pd
 sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
 
 ROOT = os.environ.get("CAMPAIGN_ROOT", "/root/repo/campaign_tb30")
-EPOCH_CAP = int(os.environ.get("CAMPAIGN_EPOCHS", 25))
+EPOCH_CAP = int(os.environ.get("CAMPAIGN_EPOCHS", 100))  # early stop decides; cap is a safety bound
 PATIENCE = int(os.environ.get("CAMPAIGN_PATIENCE", 3))  # reference patience
 EMB_DIM = 128
 N_USERS = int(os.environ.get("CAMPAIGN_USERS", 200_000))
@@ -229,6 +229,10 @@ def run_variant(name, dataset, results):
             )
         else:
             strat.train()
+            # reference protocol is early-stop (epoch bound 99999); a row
+            # that hits OUR cap instead is undertrained — flag it
+            entry["early_stopped"] = bool(trainer.stopper.early_stop)
+            entry["epoch_cap"] = EPOCH_CAP
             _, avg_auc, _, domain_auc = strat.test()
         entry["test"] = {
             "avg_auc": avg_auc,

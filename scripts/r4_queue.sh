@@ -8,6 +8,10 @@
 set -u
 cd /root/repo
 
+# Epoch budget: reference protocol is early-stop (bound 99999); 50 is the
+# compute-budget cap — rows that hit it carry early_stopped=false.
+export CAMPAIGN_EPOCHS=50
+
 WAIT_PID="${1:-}"
 log() { echo "[$(date +%H:%M:%S)] $*"; }
 
@@ -30,13 +34,14 @@ run_stage() { # name cmd timeout attempts
   return $rc
 }
 
-# campaign_others may have died mid-matrix — finish it (restartable; skips
-# done cells). Then the rest of the round-4 evidence queue.
-run_stage others  "python scripts/campaign_others.py"      14400 3
-run_stage tb30    "python scripts/campaign_tb30.py"        18000 3
+# Drop rows the old 25-epoch cap clipped (they rerun at the raised cap with
+# early_stopped instrumentation), then finish/redo campaign_others cells.
+run_stage prune   "python scripts/prune_capped.py"           600 1
+run_stage others  "python scripts/campaign_others.py"      16000 3
+run_stage tb30    "python scripts/campaign_tb30.py"        20000 3
 run_stage lanes   "python scripts/campaign_amazon_lanes.py" 7200 3
 run_stage vart30  "python scripts/variance_taobao30.py"    30000 2
-run_stage vart10  "python scripts/variance_taobao10.py"    12000 3
+run_stage vart10  "python scripts/variance_taobao10.py"    14000 3
 
 log "queue complete"
 touch /tmp/r4_queue.done

@@ -38,10 +38,16 @@ PRETTY = {
     "mlp_meta_domain_negotiation_finetune": "MLP + DN",
     "mlp_meta_mamdr_finetune": "MLP + MAMDR (DN+DR)",
     "star_meta_mamdr_finetune": "STAR + MAMDR",
+    "shared_bottom": "SharedBottom",
+    "wdl": "WDL (joint)",
+    "nfm": "NFM (joint)",
+    "autoint": "AutoInt (joint)",
+    "ccpm": "CCPM (joint)",
+    "pnn": "PNN (joint)",
 }
 
 
-def load(path):
+def load_raw(path):
     if not osp.exists(path):
         snap = osp.join(SNAPSHOTS, osp.basename(osp.dirname(path))
                         + ".results.json")
@@ -49,12 +55,27 @@ def load(path):
             return None
         path = snap
     with open(path) as f:
-        data = json.load(f)
+        return json.load(f)
+
+
+def load(path):
+    data = load_raw(path)
+    if data is None:
+        return None
     return {k: v for k, v in data.items() if not k.startswith("_")}
+
+
+CAP_FOOTNOTE = (
+    "\\* = training hit the compute-budget epoch cap without early-stopping "
+    "(reference protocol is strict-improvement early stop with an unlimited "
+    "epoch bound, base_model.py:202-224); the row is a lower bound."
+)
 
 
 def row(name, entry):
     label = PRETTY.get(name, name)
+    if entry.get("early_stopped") is False:
+        label += " \\*"
     if "error" in entry and "test" not in entry:
         return f"| {label} | FAILED | — | — | — |"
     t = entry["test"]
@@ -65,6 +86,13 @@ def row(name, entry):
         f"| {label} | {t['avg_auc']:.4f} | {t['weighted_auc']:.4f} "
         f"| {ft_a} | {ft_w} |"
     )
+
+
+def cap_note(rows_dict):
+    if any(e.get("early_stopped") is False for e in rows_dict.values()
+           if isinstance(e, dict)):
+        return ["", CAP_FOOTNOTE]
+    return []
 
 
 def ordering_checks(r):
@@ -126,6 +154,23 @@ def ordering_checks(r):
             f"- **{ok}** STAR+MAMDR >= STAR (paper: MAMDR is model-agnostic "
             f"and improves any base): {star_m:.4f} vs {star:.4f}"
         )
+    mtl = [(lbl, auc(n)) for lbl, n in
+           (("MMoE", "mmoe"), ("PLE", "ple"),
+            ("SharedBottom", "shared_bottom"))
+           if auc(n) is not None]
+    if mamdr is not None and mtl:
+        ok = "PASS" if all(mamdr >= v for _, v in mtl) else "FAIL"
+        checks.append(
+            f"- **{ok}** MAMDR > MTL baselines (paper Tables 2-3: DN+DR "
+            f"beats the multi-task architectures): {mamdr:.4f} vs "
+            + "/".join(f"{lbl} {v:.4f}" for lbl, v in mtl)
+        )
+    if mamdr is not None and star is not None:
+        ok = "PASS" if mamdr >= star else "FAIL"
+        checks.append(
+            f"- **{ok}** MAMDR (MLP base) > STAR (paper Table 3): "
+            f"{mamdr:.4f} vs {star:.4f}"
+        )
     meta_all = [reported(n) for n in (
         "mlp_meta_reptile_finetune", "mlp_meta_maml_finetune",
         "mlp_meta_mldg_finetune")]
@@ -155,6 +200,118 @@ def per_domain_table(r, names):
         )
         lines.append(f"| {d} | {vals} |")
     return lines
+
+
+def t30_variance_block():
+    """Seed-variance of the Taobao-30 headline margins (3 generator seeds,
+    scripts/variance_taobao30.py summary schema)."""
+    vp = osp.join(REPO, "variance_t30/results.json")
+    if not osp.exists(vp):
+        vp = osp.join(SNAPSHOTS, "variance_t30.results.json")
+    if not osp.exists(vp):
+        return []
+    v = json.load(open(vp))
+    margins = v.get("margins", {})
+    if not margins:
+        return []
+    seeds = v.get("seeds", {})
+    out = [
+        "",
+        "### Seed-variance analysis (full-scale generator seeds, "
+        "scripts/variance_taobao30.py)",
+        "",
+        "| seed | joint | separate | DN (ft) | MAMDR (ft) |",
+        "|---|---|---|---|---|",
+    ]
+    for seed in sorted(seeds, key=int):
+        s = seeds[seed]
+        cells = [
+            s.get("mlp"), s.get("mlp_separate"),
+            s.get("mlp_meta_domain_negotiation_finetune"),
+            s.get("mlp_meta_mamdr_finetune"),
+        ]
+        out.append(
+            f"| {seed} | "
+            + " | ".join("—" if c is None else f"{c:.4f}" for c in cells)
+            + " |"
+        )
+    out.append("")
+    for name, m in margins.items():
+        out.append(
+            f"- {name.replace('_', ' ')}: mean **{m['mean']:+.4f}**, std "
+            f"{m['std']:.4f}, positive on {m['positive']}/{m['n']} seeds"
+        )
+    return out
+
+
+def t10_variance_block():
+    """Seed-variance of the Taobao-10 MAMDR-vs-{joint,MMoE,PLE} margins
+    (scripts/variance_taobao10.py)."""
+    vp = osp.join(REPO, "variance_t10/results.json")
+    if not osp.exists(vp):
+        vp = osp.join(SNAPSHOTS, "variance_t10.results.json")
+    if not osp.exists(vp):
+        return []
+    v = json.load(open(vp))
+    margins = v.get("_margins", {})
+    if not margins:
+        return []
+
+    def a(key, stage=None):
+        e = v.get(key, {})
+        st_ = e.get("finetune", e.get("test")) if stage is None \
+            else e.get(stage)
+        return None if not st_ else st_["avg_auc"]
+
+    out = [
+        "",
+        "### Seed-variance analysis (full-scale generator seeds, "
+        "scripts/variance_taobao10.py)",
+        "",
+        "| seed | joint | MMoE | PLE | MAMDR (ft) |",
+        "|---|---|---|---|---|",
+    ]
+    for seed in (11, 12, 13):
+        cells = [a(f"s{seed}/mlp", "test"), a(f"s{seed}/mmoe", "test"),
+                 a(f"s{seed}/ple", "test"),
+                 a(f"s{seed}/mlp_meta_mamdr_finetune")]
+        if all(c is None for c in cells):
+            continue
+        out.append(
+            f"| {seed} | "
+            + " | ".join("—" if c is None else f"{c:.4f}" for c in cells)
+            + " |"
+        )
+    out.append("")
+    for name, m in margins.items():
+        out.append(
+            f"- {name.replace('_', ' ')}: mean **{m['mean']:+.4f}**, std "
+            f"{m['std']:.4f}, positive on {m['positive']}/{m['n']} seeds"
+        )
+    return out
+
+
+def lanes_parity_block(bench):
+    """Flagship parallel-lanes DR vs the sequential reference schedule at
+    full scale on trainable embeddings (scripts/campaign_amazon_lanes.py)."""
+    vp = osp.join(REPO, "campaign_lanes/results.json")
+    if not osp.exists(vp):
+        vp = osp.join(SNAPSHOTS, "campaign_lanes.results.json")
+    if not osp.exists(vp):
+        return []
+    v = json.load(open(vp))
+    p = v.get("_parity", {}).get(bench)
+    if not p:
+        return []
+    return [
+        "",
+        f"Parallel-lanes DR parity (scripts/campaign_amazon_lanes.py): the "
+        f"flagship vmapped-lanes DR phase (fused.make_fused_dr_parallel, "
+        f"dr_parallel='on', lane budget from device memory_stats) trained "
+        f"this benchmark end-to-end on trainable embeddings — finetuned AUC "
+        f"**{p['lanes_ft']:.4f}** vs the sequential row's "
+        f"{p['sequential_ft']:.4f} (delta {p['delta']:+.4f}).",
+    ]
 
 
 def main():
@@ -192,10 +349,14 @@ def main():
         "",
     ]
 
+    tb_raw = load_raw(TB)
     tb = load(TB)
+    tb_v2 = bool(tb_raw) and tb_raw.get("_taobao_gen", {}).get("version") == 2
     if tb:
+        head = ("20 organic domains + 10 starving tail themes (a few hundred "
+                "clicks each)" if tb_v2 else "~890k clicks / 3.8M examples")
         lines += [
-            "## Taobao-30 (30 domains, ~890k clicks / 3.8M examples, 197k "
+            f"## Taobao-30 (30 domains, {head}, 197k "
             "users, frozen pretrained embeddings) — full strategy matrix",
             "",
             "| model / strategy | test AUC (macro) | weighted | finetune AUC "
@@ -204,23 +365,36 @@ def main():
         ]
         for name in tb:
             lines.append(row(name, tb[name]))
+        lines += cap_note(tb)
         lines += ["", "### Paper-ordering checks", ""]
         lines += ordering_checks(tb)
-        lines += [
-            "",
-            "Note on joint-vs-separate: on this synthetic Taobao-30, separate "
-            "per-domain training beats joint because the frozen pretrained "
-            "embeddings carry most of the signal and even the smallest domain "
-            "(~7.6k train rows) has enough data to fit its tower — the paper's "
-            "joint>separate result relies on real Taobao tail domains being far "
-            "sparser/noisier. The load-bearing claim — MAMDR beats BOTH joint "
-            "and separate — reproduces. Round 3 deliberately did NOT re-roll "
-            "the Taobao generator to add starving tails (the fix that made "
-            "joint>separate pass on Amazon-6): Taobao-10/20/30 all build from "
-            "this one raw log, so a re-roll would invalidate every Taobao row "
-            "— including the passing STAR+MAMDR and MAMDR results above — to "
-            "flip one non-load-bearing check.",
-        ]
+        if tb_v2:
+            lines += [
+                "",
+                "Tail recipe (round 4): themes 20-29 are STARVING tails — a "
+                "few hundred clicks, far below the density where a per-domain "
+                "tower on frozen 128-d embeddings can fit — matching the real "
+                "Taobao tail sparsity the paper's joint>separate result relies "
+                "on. The re-roll is ADDITIVE: the generator consumes one "
+                "sequential rng and sizes[0:20] are untouched, so themes 0-19 "
+                "— and hence every Taobao-10/20 row above, including the "
+                "STAR+MAMDR pass — stay byte-identical (the reference ETL "
+                "takes the FIRST theme_num themes, preprocess_data.py:26-70); "
+                "only split_by_theme_30 rebuilt (scripts/campaign_tb30.py).",
+            ]
+        else:
+            lines += [
+                "",
+                "Note on joint-vs-separate: on this synthetic Taobao-30, "
+                "separate per-domain training beats joint because the frozen "
+                "pretrained embeddings carry most of the signal and even the "
+                "smallest domain (~7.6k train rows) has enough data to fit "
+                "its tower — the paper's joint>separate result relies on real "
+                "Taobao tail domains being far sparser/noisier. The "
+                "load-bearing claim — MAMDR beats BOTH joint and separate — "
+                "reproduces.",
+            ]
+        lines += t30_variance_block()
         lines += ["", "### Per-domain test AUC (headline strategies)", ""]
         lines += per_domain_table(
             tb, ["mlp", "mlp_meta_domain_negotiation_finetune",
@@ -342,15 +516,20 @@ def main():
             ]
             for name, entry in rows:
                 lines.append(row(name, entry))
+            lines += cap_note(dict(rows))
             checks = ordering_checks(dict(rows))
             if checks:
                 lines += ["", "Ordering checks:", ""] + checks
             if bench == "Amazon_6":
                 lines += variance_block("a6", with_separate=True)
+                lines += lanes_parity_block(bench)
             elif bench == "Amazon_13":
                 lines += variance_block("a13", with_separate=False)
+                lines += lanes_parity_block(bench)
             elif bench == "Taobao_20":
                 lines += star_variance_block()
+            elif bench == "Taobao-10":
+                lines += t10_variance_block()
             lines.append("")
 
     with open(OUT, "w") as f:

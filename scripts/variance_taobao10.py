@@ -27,7 +27,7 @@ T30_ROOT = osp.join(REPO, "variance_t30")
 ROOT = osp.join(REPO, "variance_t10")
 SEEDS = [12, 13]  # campaign raw uses rng seed 11
 VARIANTS = ["mlp", "mlp_meta_mamdr_finetune", "mmoe", "ple"]
-EPOCH_CAP = 25
+EPOCH_CAP = int(os.environ.get("CAMPAIGN_EPOCHS", 50))  # early stop decides; cap is a safety bound
 PATIENCE = 3
 
 
@@ -151,6 +151,8 @@ def main():
                 trainer = Trainer(cfg, dataset, verbose=False)
                 strat = build_strategy(trainer)
                 strat.train()
+                entry["early_stopped"] = bool(trainer.stopper.early_stop)
+                entry["epoch_cap"] = EPOCH_CAP
                 _, a, _, dauc = strat.test()
                 entry["test"] = {
                     "avg_auc": a,
