@@ -453,6 +453,22 @@ def main():
                 f" MAMDR−separate: mean **{st.mean(ms):+.4f}**, "
                 f"std {st.stdev(ms):.4f}."
             )
+        md = []
+        for seed in (17, 18, 19):
+            try:
+                dn = v[f"s{seed}/mlp_meta_domain_negotiation_finetune"]
+                dnv = dn.get("finetune", dn["test"])["avg_auc"]
+                m = v[f"s{seed}/mlp_meta_mamdr_finetune"]
+                md.append(m.get("finetune", m["test"])["avg_auc"] - dnv)
+            except KeyError:
+                pass
+        if len(md) >= 2:
+            summary += (
+                f" MAMDR−DN: mean **{st.mean(md):+.4f}**, "
+                f"std {st.stdev(md):.4f} (DR on A13 is capped at "
+                f"domain_regulation_step=1, so MAMDR≈DN there by "
+                f"construction; the margin is a statistical tie)."
+            )
         return [
             "",
             "### Seed-variance analysis (full-scale generator seeds, "
