@@ -1,10 +1,11 @@
 """Seed-variance analysis of the Taobao-30 headline margins (VERDICT r3 #5).
 
 Re-rolls the campaign_tb30 generator (round-4 starving-tail recipe, themes
-20-29 a few hundred clicks) at extra generator seeds and runs the four
-load-bearing variants — joint, separate, MAMDR(ft), DN(ft) — so the T30
-ordering checks (MAMDR > joint > separate, MAMDR > DN) carry a 3-seed
-variance block like A6/A13/T20 do.
+20-29 a few hundred clicks) at extra generator seeds and runs the
+margin-critical variants — joint, separate, MAMDR(ft) — so the T30
+ordering checks (MAMDR > joint > separate, joint > separate) carry a
+3-seed variance block like A6/A13/T20 do. (DN is omitted: its margin vs
+MAMDR is ~0.045, far beyond seed noise.)
 
 Pure orchestrator: never imports jax. Each seed runs as a fresh
 `campaign_tb30.py --variants=...` subprocess with CAMPAIGN_ROOT/SEED env —
