@@ -50,7 +50,9 @@ def save(results):
 def main():
     os.makedirs(ROOT, exist_ok=True)
     rp = osp.join(ROOT, "results.json")
-    results = json.load(open(rp)) if osp.exists(rp) else {}
+    snap = osp.join(REPO, "campaign_snapshots", "campaign_lanes.results.json")
+    src = rp if osp.exists(rp) else snap  # campaign dir wiped: tracked mirror
+    results = json.load(open(src)) if osp.exists(src) else {}
 
     import jax
 

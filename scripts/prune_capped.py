@@ -6,10 +6,17 @@ landing with the early_stopped/epoch_cap instrumentation.
 
 Detection: the variant's LATEST ckpt metrics.jsonl — capped when the run
 used all its epochs AND the best val epoch is within `patience` of the end
-(i.e. the stopper never fired). Rows with no surviving metrics (r3-era
-ckpts were wiped) are pruned only if listed in STATIC_PRUNE: the Taobao-10
-north-star rows, where the 25-epoch cap demonstrably bit their cohort, and
-Taobao_20/mlp (same frozen-embedding family, status unknown).
+(i.e. the stopper never fired). Rows with no surviving metrics (campaign
+ckpt dirs are untracked and get wiped by session resets) are pruned only if
+listed in STATIC_PRUNE — the cohort the r4 metrics inspection documented as
+still climbing at the 25-epoch cap (CLAUDE.md round-4 notes: T10
+DN/MLDG/Reptile/UW/SharedBottom + the T10 north-star rows — MMoE jumped
+0.8268->0.8465 at cap 50 — A13 DN, and the T20 frozen-embedding family,
+whose per-row status is unknown so the whole bench reruns for a uniform
+epoch protocol).
+
+Reads the live campaign_others/results.json when present, else the tracked
+campaign_snapshots mirror; writes the pruned set back to both.
 
 CPU-only, instant. Run ONLY while no campaign process is live (a running
 campaign holds results in memory and would write pruned rows back).
@@ -28,11 +35,30 @@ PATIENCE = 3
 OLD_CAP = 25
 
 STATIC_PRUNE = [
+    # Taobao-10: the r4 metrics inspection found DN/MLDG/Reptile/UW/
+    # shared_bottom still climbing at epoch 25; mlp/mamdr/mmoe/ple are the
+    # north-star cohort (MMoE 0.8268->0.8465 at cap 50). maml/pcgrad/star
+    # early-stopped and are kept.
     "Taobao-10/mlp",
     "Taobao-10/mlp_meta_mamdr_finetune",
     "Taobao-10/mmoe",
     "Taobao-10/ple",
+    "Taobao-10/mlp_meta_domain_negotiation_finetune",
+    "Taobao-10/mlp_meta_mldg_finetune",
+    "Taobao-10/mlp_meta_reptile_finetune",
+    "Taobao-10/mlp_uncertainty_weight",
+    "Taobao-10/shared_bottom",
+    # Taobao_20: "several rows still climbing" — per-row evidence wiped, so
+    # the whole bench reruns at the raised cap for a uniform protocol
+    # (early-stopped rows reproduce; capped ones retrain to convergence).
     "Taobao_20/mlp",
+    "Taobao_20/star",
+    "Taobao_20/star_meta_mamdr_finetune",
+    "Taobao_20/mlp_meta_mamdr_finetune",
+    "Taobao_20/mlp_meta_domain_negotiation_finetune",
+    "Taobao_20/mmoe",
+    # Amazon_13: DN was the one Amazon row still climbing at the cap.
+    "Amazon_13/mlp_meta_domain_negotiation_finetune",
 ]
 
 
@@ -55,10 +81,12 @@ def latest_run_capped(bench: str, variant: str):
 
 def main():
     rp = osp.join(ROOT, "results.json")
-    if not osp.exists(rp):
-        print("no campaign_others/results.json; nothing to prune")
+    snap = osp.join(REPO, "campaign_snapshots", "campaign_others.results.json")
+    src = rp if osp.exists(rp) else snap
+    if not osp.exists(src):
+        print("no campaign_others results (live or snapshot); nothing to prune")
         return
-    with open(rp) as f:
+    with open(src) as f:
         results = json.load(f)
     pruned = []
     for key in list(results):
@@ -75,8 +103,9 @@ def main():
     if not pruned:
         print("no capped rows found")
         return
-    for path in (rp, osp.join(REPO, "campaign_snapshots",
-                              "campaign_others.results.json")):
+    import os
+    os.makedirs(ROOT, exist_ok=True)
+    for path in (rp, snap):
         with open(path, "w") as f:
             json.dump(results, f, indent=2)
             f.write("\n")

@@ -35,10 +35,12 @@ run_stage() { # name cmd timeout attempts
 }
 
 # Drop rows the old 25-epoch cap clipped (they rerun at the raised cap with
-# early_stopped instrumentation), then finish/redo campaign_others cells.
+# early_stopped instrumentation). tb30 runs FIRST: (a) its v2 starving-tail
+# rows are the round's top VERDICT item, (b) campaign_others'
+# build_taobao_splits requires the tb30 raw log to exist.
 run_stage prune   "python scripts/prune_capped.py"           600 1
-run_stage others  "python scripts/campaign_others.py"      16000 3
 run_stage tb30    "python scripts/campaign_tb30.py"        20000 3
+run_stage others  "python scripts/campaign_others.py"      16000 3
 run_stage lanes   "python scripts/campaign_amazon_lanes.py" 7200 3
 run_stage vart30  "python scripts/variance_taobao30.py"    30000 2
 run_stage vart10  "python scripts/variance_taobao10.py"    14000 3
