@@ -271,7 +271,16 @@ def assign_user_splits(
     each user's negatives (split.py:129-137 appends + tool.py two-stage
     train_test_split): with m rows, n_temp = ceil(m*(1-f_train)) rows leave
     train, of which n_test = ceil(n_temp * f_test/(f_val+f_test)) go to
-    test; frames with m < 3 go entirely to train (the _append_split guard).
+    test. m == 2 lands 1 train + 1 TEST: the reference's second stage is
+    guarded by ``len(df_temp) > 1`` (tool.py:146-155), so the single temp
+    row goes to test, val stays empty. Only m == 1 goes entirely to train
+    (the reference would raise inside sklearn there — an empty train side —
+    so that user count never occurred in its runs; quota = int(n/ctr) >= 2
+    whenever the complement pool suffices). An earlier m < 3 guard sent
+    BOTH of a 2-negative user's rows to train, which starved tiny domains'
+    test splits of negatives entirely (1-click users with a ctr draw > 1/3
+    are the bulk of a starving tail theme) and made their test AUC
+    undefined; fixed for reference parity.
     Which rows land where is a uniform per-user permutation in both paths.
     """
     f_train, f_val, f_test = fracs
@@ -290,7 +299,7 @@ def assign_user_splits(
     out = np.full(n, 2, np.int8)
     out[pos < n_tr + (n_temp - n_te)] = 1
     out[pos < n_tr] = 0
-    out[m_row < 3] = 0
+    out[m_row < 2] = 0
     return out
 
 
@@ -301,10 +310,14 @@ def _write_header(domain_save_path: str) -> None:
 
 
 def _append_split(domain_save_path: str, df: pd.DataFrame, conf: dict) -> None:
-    # Frames too small to three-way split (a user with a near-exhausted
-    # negative pool can contribute 1-2 rows; sklearn would raise on an empty
-    # train side — the reference crashes here) go entirely to train.
-    if len(df) < 3:
+    # A single-row frame (a user whose negative pool is nearly exhausted)
+    # goes entirely to train: sklearn would raise on the empty train side —
+    # the reference crashes there, so that shape never occurred in its runs.
+    # Two-row frames DO split (1 train + 1 test via the len(df_temp)>1
+    # second-stage guard, reference tool.py:146-155) — 1-click users with a
+    # ctr draw > 1/3 contribute exactly 2 negatives, and starving tail
+    # domains are made almost entirely of them.
+    if len(df) < 2:
         with open(osp.join(domain_save_path, "train.csv"), "a", newline="") as f:
             csv.writer(f).writerows(df[HEADER].values.tolist())
         return

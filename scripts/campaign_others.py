@@ -68,6 +68,12 @@ AMAZON_GEN = dict(
            60_000, 45_000, 34_000, 26_000, 20_000, 15_000, 11_000],
     items=[6_000, 3_800, 2_500, 1_700, 350, 110,
            1_800, 1_400, 1_100, 850, 650, 500, 380],
+    # etl_split 2 = the m=2 split-guard parity fix (etl/common.py): domains
+    # whose ctr draw exceeds 1/3 (A6 d4; A13 d4/d6/d8) gain the 1-click
+    # users' test negatives the reference recipe gives them. Raw reviews are
+    # unchanged; the stamp mismatch wipes + rebuilds splits and invalidates
+    # every Amazon row so the table stays single-recipe.
+    etl_split=2,
 )
 
 # Round 4 (VERDICT item 2): every reference config family gets a row.
@@ -145,7 +151,8 @@ def build_amazon_raw():
         shutil.rmtree(osp.join(ROOT, "dataset/Amazon"), ignore_errors=True)
         os.makedirs(raw, exist_ok=True)
     t0 = time.time()
-    generate_amazon_reviews(raw, cat_names=CATS, **AMAZON_GEN)
+    gen_kwargs = {k: v for k, v in AMAZON_GEN.items() if k != "etl_split"}
+    generate_amazon_reviews(raw, cat_names=CATS, **gen_kwargs)
     with open(stamp, "w") as f:
         json.dump(AMAZON_GEN, f)
     log(f"amazon raw synthesised in {time.time()-t0:.0f}s "
@@ -180,12 +187,27 @@ def build_amazon_splits(raw):
         log(f"{name} built in {time.time()-t0:.0f}s")
 
 
+TAOBAO_ETL = 2  # 2 = the m=2 split-guard parity fix (etl/common.py)
+
+
 def build_taobao_splits():
+    import shutil
+
     from mamdr_tpu.data.etl import taobao
 
     raw = osp.join(TB_ROOT, "raw")
     if not osp.exists(osp.join(raw, "theme_click_log.csv")):
         raise FileNotFoundError("run campaign_tb30 build first (shared raw)")
+    # Splits built by an older ETL are stale even when the raw is unchanged.
+    tb_dir = osp.join(ROOT, "dataset/Taobao")
+    stamp = osp.join(tb_dir, "etl.json")
+    prev = json.load(open(stamp)) if osp.exists(stamp) else None
+    if osp.exists(tb_dir) and prev != {"split_guard": TAOBAO_ETL}:
+        log("Taobao ETL version changed: wiping stale T10/T20 splits")
+        shutil.rmtree(tb_dir, ignore_errors=True)
+    os.makedirs(tb_dir, exist_ok=True)
+    with open(stamp, "w") as f:
+        json.dump({"split_guard": TAOBAO_ETL}, f)
     for name, n in (("split_by_theme_10", 10), ("split_by_theme_20", 20)):
         split_path = osp.join(ROOT, "dataset/Taobao", name)
         if osp.exists(osp.join(split_path, f"domain_{n-1}", "train.csv")):
@@ -353,8 +375,15 @@ def main():
                 log(f"AMAZON_GEN changed: invalidating {dropped}")
             loaded = {k: v for k, v in loaded.items()
                       if not k.startswith("Amazon")}
+        if loaded.get("_taobao_etl") != TAOBAO_ETL:
+            dropped = [k for k in loaded if k.startswith("Taobao")]
+            if dropped:
+                log(f"Taobao ETL version changed: invalidating {dropped}")
+            loaded = {k: v for k, v in loaded.items()
+                      if not k.startswith("Taobao")}
         results = {k: v for k, v in loaded.items() if not k.startswith("_")}
     results["_amazon_gen"] = AMAZON_GEN
+    results["_taobao_etl"] = TAOBAO_ETL
     for bench, variants in matrix.items():
         dataset = None
         for model_name in variants:

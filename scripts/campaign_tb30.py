@@ -62,8 +62,12 @@ def theme_sizes() -> list:
 
 
 def gen_recipe() -> dict:
+    # version 3: the ETL m=2 split-guard fix (etl/common.py assign_user_splits
+    # — 2-negative users now land 1 train + 1 test as the reference does,
+    # instead of both-to-train). The raw log is identical; the SPLITS change,
+    # so the version bump wipes split_by_theme_30 and invalidates all rows.
     return {
-        "version": 2,
+        "version": 3,
         "seed": SEED,
         "n_users": N_USERS,
         "n_items": N_ITEMS,

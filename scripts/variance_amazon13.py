@@ -51,7 +51,8 @@ def build(seed):
         shutil.rmtree(d, ignore_errors=True)
         t0 = time.time()
         cats = [f"Cat {i}" for i in range(13)]
-        generate_amazon_reviews(osp.join(d, "raw"), cat_names=cats, **gen)
+        gen_kwargs = {k: v for k, v in gen.items() if k != "etl_split"}
+        generate_amazon_reviews(osp.join(d, "raw"), cat_names=cats, **gen_kwargs)
         amazon.split_to_domains({
             "categories": cats,
             "raw_data_path": osp.join(d, "raw"),

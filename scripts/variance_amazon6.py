@@ -53,9 +53,10 @@ def build(seed):
 
         shutil.rmtree(d, ignore_errors=True)
         t0 = time.time()
+        gen_kwargs = {k: v for k, v in gen.items() if k != "etl_split"}
         generate_amazon_reviews(osp.join(d, "raw"),
                                 cat_names=[f"Cat {i}" for i in range(6)],
-                                **gen)
+                                **gen_kwargs)
         amazon.split_to_domains({
             "categories": [f"Cat {i}" for i in range(6)],
             "raw_data_path": osp.join(d, "raw"),

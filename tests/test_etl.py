@@ -255,7 +255,11 @@ def test_assign_user_splits_matches_sklearn_arithmetic():
     from mamdr_tpu.data.etl.common import assign_user_splits
 
     # user with m rows: n_temp=ceil(0.4m), train=m-n_temp,
-    # test=ceil(n_temp/2), val=n_temp-test; m<3 -> all train
+    # test=ceil(n_temp/2), val=n_temp-test. m=2 -> 1 train + 1 TEST (the
+    # reference's len(df_temp)>1 second-stage guard, tool.py:146-155 — the
+    # load-bearing case for starving tail domains, whose 1-click users
+    # contribute exactly 2 negatives at ctr>1/3); m=1 -> train (reference
+    # raises inside sklearn there).
     uid = np.concatenate([np.full(m, i) for i, m in enumerate([1, 2, 3, 10, 37])])
     out = assign_user_splits(uid, [0.6, 0.2, 0.2], np.random.default_rng(0))
     df = pd.DataFrame({"uid": uid, "s": out})
@@ -263,7 +267,7 @@ def test_assign_user_splits_matches_sklearn_arithmetic():
         int(u): tuple(int((g["s"] == c).sum()) for c in (0, 1, 2))
         for u, g in df.groupby("uid")
     }
-    assert got[0] == (1, 0, 0) and got[1] == (2, 0, 0)
+    assert got[0] == (1, 0, 0) and got[1] == (1, 0, 1)
     assert got[2] == (1, 1, 1)        # m=3: temp=2, test=1, val=1
     assert got[3] == (6, 2, 2)        # m=10
     assert got[4] == (22, 7, 8)       # m=37: temp=15, test=8, val=7
