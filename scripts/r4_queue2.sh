@@ -27,6 +27,10 @@ run_stage() { # name cmd timeout attempts
 
 # A13 MAMDR-vs-DN margin adjudication (adds DN rows at seeds 18/19)
 run_stage vara13dn "python scripts/variance_amazon13.py" 7200 3
+# The r3 variance blocks predate the ETL split-guard fix — refresh them on
+# the fixed data so every variance block matches the campaign recipe.
+run_stage vara6   "python scripts/variance_amazon6.py"   7200 3
+run_stage vart20  "python scripts/variance_taobao20.py" 10000 3
 
 log "queue2 complete"
 touch /tmp/r4_queue2.done

@@ -23,7 +23,7 @@ sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
 
 ROOT = "/root/repo/variance_a6"
 SEEDS = [18, 19]
-EPOCH_CAP = 25
+EPOCH_CAP = int(os.environ.get("CAMPAIGN_EPOCHS", 50))  # early stop decides
 PATIENCE = 3
 VARIANTS = ["mlp", "mlp_separate", "mlp_meta_mamdr_finetune"]
 

@@ -23,7 +23,7 @@ sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
 
 ROOT = "/root/repo/variance_t20"
 SEEDS = [12, 13]   # campaign raw uses rng seed 11
-EPOCH_CAP = 25
+EPOCH_CAP = int(os.environ.get("CAMPAIGN_EPOCHS", 50))  # early stop decides
 PATIENCE = 3
 VARIANTS = ["star", "star_meta_mamdr_finetune"]
 
