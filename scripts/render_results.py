@@ -320,7 +320,9 @@ def main():
         "",
         "Datasets are built at reference scale/statistics through the repo's",
         "own ETL (per-user negative sampling at seeded ctr ratios ~U[0.2,0.5],",
-        "stratified 60/20/20, seed 123 — dataset/*/split.py recipe) from",
+        "stratified 60/20/20 incl. the reference's 2-negative-user 1-train+",
+        "1-test split arithmetic — round-4 split-guard parity fix, all rows",
+        "single-recipe post-fix; seed 123 — dataset/*/split.py recipe) from",
         "synthesised raw inputs (zero-egress environment). Taobao: latent-",
         "factor click log with frozen pretrained 128-d embeddings carrying",
         "the signal. Amazon (trainable embeddings): shared user core + a",
@@ -353,7 +355,8 @@ def main():
 
     tb_raw = load_raw(TB)
     tb = load(TB)
-    tb_v2 = bool(tb_raw) and tb_raw.get("_taobao_gen", {}).get("version") == 2
+    tb_v2 = bool(tb_raw) and (
+        tb_raw.get("_taobao_gen", {}).get("version") or 0) >= 2
     if tb:
         head = ("20 organic domains + 10 starving tail themes (a few hundred "
                 "clicks each)" if tb_v2 else "~890k clicks / 3.8M examples")
@@ -377,12 +380,17 @@ def main():
                 "few hundred clicks, far below the density where a per-domain "
                 "tower on frozen 128-d embeddings can fit — matching the real "
                 "Taobao tail sparsity the paper's joint>separate result relies "
-                "on. The re-roll is ADDITIVE: the generator consumes one "
-                "sequential rng and sizes[0:20] are untouched, so themes 0-19 "
-                "— and hence every Taobao-10/20 row above, including the "
-                "STAR+MAMDR pass — stay byte-identical (the reference ETL "
-                "takes the FIRST theme_num themes, preprocess_data.py:26-70); "
-                "only split_by_theme_30 rebuilt (scripts/campaign_tb30.py).",
+                "on. The re-roll is ADDITIVE at the raw level: the generator "
+                "consumes one sequential rng and sizes[0:20] are untouched, so "
+                "the themes 0-19 click log stays byte-identical (the reference "
+                "ETL takes the FIRST theme_num themes, preprocess_data.py:"
+                "26-70). All splits in this file were (re)built by the "
+                "round-4 split-guard-fixed ETL — a 2-negative user lands 1 "
+                "train + 1 test row exactly as the reference's two-stage "
+                "split does (tool.py:146-155); the earlier guard sent both "
+                "to train, which left starving-tail test sets with no "
+                "negatives at all (undefined AUC) — so every row in this "
+                "file is a single-recipe, post-fix number.",
             ]
         else:
             lines += [
@@ -413,6 +421,8 @@ def main():
         if not osp.exists(vp):
             return []
         v = json.load(open(vp))
+        if v.get("_etl_split") != 2:
+            return []  # predates the split-guard fix — not the table's recipe
         mj, ms, per_seed = [], [], []
         for seed in (17, 18, 19):
             try:
@@ -490,6 +500,8 @@ def main():
         if not osp.exists(vp):
             return []
         v = json.load(open(vp))
+        if v.get("_etl_split") != 2:
+            return []  # predates the split-guard fix — not the table's recipe
         margins, per_seed = [], []
         for seed in (11, 12, 13):
             try:

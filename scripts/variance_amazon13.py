@@ -78,6 +78,9 @@ def main():
     os.makedirs(ROOT, exist_ok=True)
     rp = osp.join(ROOT, "results.json")
     results = json.load(open(rp)) if osp.exists(rp) else {}
+    if results.get("_etl_split") != 2:  # pre-split-guard-fix rows are stale
+        results = {}
+    results["_etl_split"] = 2
     log(f"devices: {jax.devices()}")
 
     from mamdr_tpu.benchmarks import benchmark_config

@@ -84,9 +84,13 @@ def load_rows(path: str) -> dict:
         return json.load(f)
 
 
+GEN_VERSION = 3  # must match campaign_tb30.gen_recipe()["version"]
+
+
 def done(seed: int) -> bool:
     rows = load_rows(osp.join(seed_root(seed), "results.json"))
-    if rows.get("_taobao_gen", {}).get("seed") != seed:
+    stamp = rows.get("_taobao_gen", {})
+    if stamp.get("seed") != seed or stamp.get("version") != GEN_VERSION:
         return False  # stale/missing recipe stamp — let the child sort it out
     return all(
         v in rows and "error" not in rows.get(v, {}) for v in VARIANTS
