@@ -197,6 +197,53 @@ def test_taobao_end_to_end(tmp_path):
     assert 0.2 <= prop["ctr_ratio"] <= 0.5
 
 
+def test_starving_tail_theme_gets_test_negatives(tmp_path):
+    """Regression for the round-4 split-guard parity fix: a starving tail
+    theme made of 1-click users at a ctr draw > 1/3 (quota = 2 negatives
+    per user) must land 1 train + 1 TEST negative per user — the
+    reference's second split stage keeps the single temp row as test
+    (tool.py:146-155). The old m<3 guard sent both negatives to train,
+    leaving the tail's test split all-positive (AUC undefined), which
+    poisoned every Taobao-30 macro average."""
+    rng = np.random.default_rng(3)
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    n_users, n_items = 120, 60
+    for name, n in (("user", n_users), ("item", n_items)):
+        ids = [f"{name[0]}{i}" for i in range(n)]
+        pd.DataFrame(
+            {f"{name}_id": ids,
+             "emb": [" ".join(map(str, rng.normal(size=4).round(3)))
+                     for _ in ids]}
+        ).set_index(f"{name}_id").to_csv(raw / f"{name}_embedding.csv")
+    rows = [  # theme 0: normal; theme 1: starving, every user exactly 1 click
+        {"user_id": f"u{rng.integers(0, 60)}",
+         "item_id": f"i{rng.integers(0, 40)}", "theme_id": 100}
+        for _ in range(600)
+    ] + [
+        {"user_id": f"u{60 + i}", "item_id": f"i{40 + (i % 20)}",
+         "theme_id": 101}
+        for i in range(50)
+    ]
+    pd.DataFrame(rows).to_csv(raw / "theme_click_log.csv", index=False)
+    split_path = str(tmp_path / "split")
+    taobao.split_to_domains({
+        "raw_data_path": str(raw), "split_save_path": split_path,
+        "processed_data_path": "processed_data", "theme_num": 2,
+        "ctr_ratio": 0.4, "random_range": False,  # quota = int(1/0.4) = 2
+        "train_val_test": [0.6, 0.2, 0.2], "seed": 123, "rebuild": False,
+    })
+    test = pd.read_csv(osp.join(split_path, "domain_1/test.csv"))
+    n_neg = int((test["label"] == 0).sum())
+    n_pos = int((test["label"] == 1).sum())
+    assert n_pos > 0
+    # every 1-click user contributes exactly 1 test negative
+    assert n_neg > 0, "starving-tail test split has no negatives"
+    train = pd.read_csv(osp.join(split_path, "domain_1/train.csv"))
+    tr_neg = int((train["label"] == 0).sum())
+    assert tr_neg == n_neg  # the other negative of each user's pair
+
+
 def test_vectorized_negatives_match_loop_distribution():
     """The vectorized sampler obeys the exact per-user recipe invariants of
     the loop path (counts, disjointness, pool membership) and matches its
