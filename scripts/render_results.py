@@ -220,13 +220,13 @@ def t30_variance_block():
         "### Seed-variance analysis (full-scale generator seeds, "
         "scripts/variance_taobao30.py)",
         "",
-        "| seed | joint | separate | DN (ft) | MAMDR (ft) |",
-        "|---|---|---|---|---|",
+        "| seed | joint | separate | MMoE | DN (ft) | MAMDR (ft) |",
+        "|---|---|---|---|---|---|",
     ]
     for seed in sorted(seeds, key=int):
         s = seeds[seed]
         cells = [
-            s.get("mlp"), s.get("mlp_separate"),
+            s.get("mlp"), s.get("mlp_separate"), s.get("mmoe"),
             s.get("mlp_meta_domain_negotiation_finetune"),
             s.get("mlp_meta_mamdr_finetune"),
         ]

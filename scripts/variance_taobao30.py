@@ -32,10 +32,13 @@ ROOT = osp.join(REPO, "variance_t30")
 SEEDS = [12, 13]  # campaign raw uses rng seed 11
 VARIANTS = [
     # DN is deliberately absent: its T30 margin vs MAMDR is huge
-    # (~0.045, far beyond seed noise) — the seeds go to the thin margins
+    # (~0.02+, far beyond seed noise) — the seeds go to the thin margins.
+    # mmoe joined in round 4: the campaign's MAMDR-MMoE gap is +0.0003,
+    # the thinnest margin on the board.
     "mlp",
     "mlp_separate",
     "mlp_meta_mamdr_finetune",
+    "mmoe",
 ]
 ATTEMPTS = 3
 ATTEMPT_TIMEOUT_S = 4 * 3600
@@ -122,6 +125,7 @@ def summarize() -> dict:
                                     "mlp_separate"),
         "mamdr_ft_minus_dn_ft": ("mlp_meta_mamdr_finetune",
                                  "mlp_meta_domain_negotiation_finetune"),
+        "mamdr_ft_minus_mmoe": ("mlp_meta_mamdr_finetune", "mmoe"),
         "joint_minus_separate": ("mlp", "mlp_separate"),
     }
     out = {"seeds": {}, "margins": {}}
