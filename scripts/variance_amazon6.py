@@ -25,7 +25,10 @@ ROOT = "/root/repo/variance_a6"
 SEEDS = [18, 19]
 EPOCH_CAP = int(os.environ.get("CAMPAIGN_EPOCHS", 50))  # early stop decides
 PATIENCE = 3
-VARIANTS = ["mlp", "mlp_separate", "mlp_meta_mamdr_finetune"]
+VARIANTS = ["mlp", "mlp_separate", "mlp_meta_mamdr_finetune",
+            # round 4: the campaign's A6 MAMDR-DN gap is ~-0.002 (DN ahead
+            # at seed 17) — adjudicate MAMDR vs DN across seeds like A13
+            "mlp_meta_domain_negotiation_finetune"]
 
 
 def log(msg):
