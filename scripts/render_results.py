@@ -105,6 +105,8 @@ def ordering_checks(r):
     saving). The checks therefore use the finetuned AUC when present,
     falling back to the merged test AUC."""
     checks = []
+    capped = {n for n, e in r.items()
+              if isinstance(e, dict) and e.get("early_stopped") is False}
 
     def auc(name, stage="test"):
         e = r.get(name, {})
@@ -116,29 +118,43 @@ def ordering_checks(r):
         ft = auc(name, "finetune")
         return ft if ft is not None else auc(name)
 
+    def cap_tag(*names):
+        hit = [n for n in names if n in capped]
+        if not hit:
+            return ""
+        return (" _(unresolved at the epoch cap: "
+                + ", ".join(PRETTY.get(n, n) for n in hit)
+                + " still improving when capped — both sides are lower "
+                "bounds under the reference's unlimited-epoch protocol)_")
+
     mamdr = reported("mlp_meta_mamdr_finetune")
     mamdr_test = auc("mlp_meta_mamdr_finetune")
     mamdr_ft = auc("mlp_meta_mamdr_finetune", "finetune")
     dn = reported("mlp_meta_domain_negotiation_finetune")
     joint = auc("mlp")
     sep = auc("mlp_separate")
-    for label, a, b in (
+    M, D, J, S = ("mlp_meta_mamdr_finetune",
+                  "mlp_meta_domain_negotiation_finetune", "mlp",
+                  "mlp_separate")
+    for label, a, b, names in (
         ("MAMDR > joint (paper Table 2: DN+DR beats Joined on every dataset)",
-         mamdr, joint),
-        ("MAMDR >= DN (DR on top of DN helps)", mamdr, dn),
-        ("DN > joint", dn, joint),
+         mamdr, joint, (M, J)),
+        ("MAMDR >= DN (DR on top of DN helps)", mamdr, dn, (M, D)),
+        ("DN > joint", dn, joint, (D, J)),
         ("joint > separate (MDR transfers; per-domain training overfits "
-         "small domains)", joint, sep),
+         "small domains)", joint, sep, (J, S)),
     ):
         if a is None or b is None:
             continue
         ok = "PASS" if a >= b else "FAIL"
-        checks.append(f"- **{ok}** {label}: {a:.4f} vs {b:.4f}")
+        checks.append(
+            f"- **{ok}** {label}: {a:.4f} vs {b:.4f}" + cap_tag(*names))
     if mamdr is not None and sep is not None:
         ok = "PASS" if mamdr >= sep else "FAIL"
         checks.append(
             f"- **{ok}** MAMDR > separate (the paper's core claim: shared "
-            f"meta-learning beats per-domain training): {mamdr:.4f} vs {sep:.4f}"
+            f"meta-learning beats per-domain training): {mamdr:.4f} vs "
+            f"{sep:.4f}" + cap_tag(M, S)
         )
     if mamdr_test is not None and mamdr_ft is not None:
         ok = "PASS" if mamdr_ft >= mamdr_test - 0.002 else "FAIL"
@@ -153,6 +169,7 @@ def ordering_checks(r):
         checks.append(
             f"- **{ok}** STAR+MAMDR >= STAR (paper: MAMDR is model-agnostic "
             f"and improves any base): {star_m:.4f} vs {star:.4f}"
+            + cap_tag("star_meta_mamdr_finetune", "star")
         )
     mtl = [(lbl, auc(n)) for lbl, n in
            (("MMoE", "mmoe"), ("PLE", "ple"),
@@ -164,6 +181,7 @@ def ordering_checks(r):
             f"- **{ok}** MAMDR > MTL baselines (paper Tables 2-3: DN+DR "
             f"beats the multi-task architectures): {mamdr:.4f} vs "
             + "/".join(f"{lbl} {v:.4f}" for lbl, v in mtl)
+            + cap_tag(M, "mmoe", "ple", "shared_bottom")
         )
     if mamdr is not None and star is not None:
         ok = "PASS" if mamdr >= star else "FAIL"
@@ -180,6 +198,8 @@ def ordering_checks(r):
             f"- **{ok}** MAMDR beats generic meta baselines "
             f"(Reptile/MAML/MLDG): {mamdr:.4f} vs "
             + "/".join(f"{m:.4f}" for m in meta_all)
+            + cap_tag(M, "mlp_meta_reptile_finetune",
+                      "mlp_meta_maml_finetune", "mlp_meta_mldg_finetune")
         )
     return checks
 
