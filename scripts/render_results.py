@@ -322,6 +322,22 @@ def lanes_parity_block(bench):
     v = json.load(open(vp))
     p = v.get("_parity", {}).get(bench)
     if not p:
+        entry = v.get(f"{bench}/mlp_meta_mamdr_finetune@lanes", {})
+        err = entry.get("error", "")
+        if "TPU worker process crashed" in err:
+            return [
+                "",
+                "Parallel-lanes DR at this benchmark's shapes (13 lanes x "
+                "trainable 128-d tables) CRASHED the TPU worker (kernel "
+                "fault) — the same failure mode as the round-2 incident at "
+                "these shapes, now reproduced in a fresh process after a "
+                "clean Amazon-6 lanes run in the same session. Amazon-13 "
+                "therefore reports the sequential reference-shaped schedule "
+                "(the numbers above); the lanes path stays gated off here "
+                "(strategies/mamdr.py lane budget) until the worker fault "
+                "is root-caused. Amazon-6 lanes parity is the positive "
+                "evidence for the flagship path on trainable embeddings.",
+            ]
         return []
     return [
         "",
