@@ -88,13 +88,27 @@ def main():
         return
     with open(src) as f:
         results = json.load(f)
+    recap = None
+    for a in sys.argv[1:]:
+        if a.startswith("--recap="):
+            recap = int(a.split("=", 1)[1])
     pruned = []
     for key in list(results):
         if key.startswith("_"):
             continue
         entry = results[key]
         if entry.get("early_stopped") is not None:
-            continue  # instrumented row from the raised-cap era — trust it
+            # Instrumented row. With --recap=N, prune it anyway when it hit
+            # a cap below N without early-stopping (the raised-cap rerun
+            # trains it to convergence); otherwise trust it.
+            if (
+                recap is not None
+                and entry["early_stopped"] is False
+                and entry.get("epoch_cap", 0) < recap
+            ):
+                pruned.append(key)
+                del results[key]
+            continue
         bench, variant = key.split("/", 1)
         capped = latest_run_capped(bench, variant)
         if capped or (capped is None and key in STATIC_PRUNE):
