@@ -15,6 +15,12 @@ DN/MLDG/Reptile/UW/SharedBottom + the T10 north-star rows — MMoE jumped
 whose per-row status is unknown so the whole bench reruns for a uniform
 epoch protocol).
 
+`--recap=N`: additionally requeue INSTRUMENTED rows (early_stopped/
+epoch_cap present) that hit a cap below N without early-stopping, so a
+raised-cap campaign pass retrains them to convergence. N must equal the
+CAMPAIGN_EPOCHS the rerun will use — a recap above the configured cap
+would requeue rows into an endless re-cap/re-prune loop.
+
 Reads the live campaign_others/results.json when present, else the tracked
 campaign_snapshots mirror; writes the pruned set back to both.
 
@@ -24,6 +30,7 @@ campaign holds results in memory and would write pruned rows back).
 
 from __future__ import annotations
 
+import argparse
 import glob
 import json
 import os.path as osp
@@ -80,6 +87,20 @@ def latest_run_capped(bench: str, variant: str):
 
 
 def main():
+    ap = argparse.ArgumentParser(
+        description="prune capped campaign_others rows for rerun"
+    )
+    ap.add_argument(
+        "--recap",
+        type=int,
+        default=None,
+        metavar="N",
+        help="also requeue instrumented rows that hit a cap < N without "
+        "early-stopping; must equal the CAMPAIGN_EPOCHS of the rerun",
+    )
+    args = ap.parse_args()  # errors out on any unrecognized argv
+    recap = args.recap
+    print(f"recap threshold: {recap if recap is not None else 'off'}")
     rp = osp.join(ROOT, "results.json")
     snap = osp.join(REPO, "campaign_snapshots", "campaign_others.results.json")
     src = rp if osp.exists(rp) else snap
@@ -88,10 +109,6 @@ def main():
         return
     with open(src) as f:
         results = json.load(f)
-    recap = None
-    for a in sys.argv[1:]:
-        if a.startswith("--recap="):
-            recap = int(a.split("=", 1)[1])
     pruned = []
     for key in list(results):
         if key.startswith("_"):
@@ -101,13 +118,16 @@ def main():
             # Instrumented row. With --recap=N, prune it anyway when it hit
             # a cap below N without early-stopping (the raised-cap rerun
             # trains it to convergence); otherwise trust it.
-            if (
-                recap is not None
-                and entry["early_stopped"] is False
-                and entry.get("epoch_cap", 0) < recap
-            ):
-                pruned.append(key)
-                del results[key]
+            if recap is not None and entry["early_stopped"] is False:
+                cap = entry.get("epoch_cap")
+                if cap is None:
+                    # campaign_others.py always writes both fields; a
+                    # missing cap signals a malformed row — don't guess.
+                    print(f"  WARN {key}: early_stopped without epoch_cap; "
+                          "skipping (malformed row)")
+                elif cap < recap:
+                    pruned.append(key)
+                    del results[key]
             continue
         bench, variant = key.split("/", 1)
         capped = latest_run_capped(bench, variant)
