@@ -118,14 +118,28 @@ def ordering_checks(r):
         ft = auc(name, "finetune")
         return ft if ft is not None else auc(name)
 
-    def cap_tag(*names):
-        hit = [n for n in names if n in capped]
-        if not hit:
-            return ""
-        return (" _(unresolved at the epoch cap: "
-                + ", ".join(PRETTY.get(n, n) for n in hit)
-                + " still improving when capped — both sides are lower "
-                "bounds under the reference's unlimited-epoch protocol)_")
+    def cap_tag(ok, a_names, b_names):
+        """One-sided resolution: recorded AUCs are lower bounds under the
+        reference's strict-improvement protocol (more epochs only raise the
+        best-val number), so a capped row on the WINNING side of the current
+        verdict cannot flip it — only a capped row on the losing side leaves
+        the check unresolved."""
+        losing = b_names if ok == "PASS" else a_names
+        winning = a_names if ok == "PASS" else b_names
+        hit_losing = [n for n in losing if n in capped]
+        hit_winning = [n for n in winning if n in capped]
+        if hit_losing:
+            return (" _(unresolved at the epoch cap: "
+                    + ", ".join(PRETTY.get(n, n) for n in hit_losing)
+                    + " still improving when capped and on the losing side — "
+                    "more epochs could flip the verdict)_")
+        if hit_winning:
+            return (" _("
+                    + ", ".join(PRETTY.get(n, n) for n in hit_winning)
+                    + " still improving when capped, but only on the winning "
+                    "side — its value is a lower bound, so the verdict "
+                    "stands)_")
+        return ""
 
     mamdr = reported("mlp_meta_mamdr_finetune")
     mamdr_test = auc("mlp_meta_mamdr_finetune")
@@ -136,25 +150,26 @@ def ordering_checks(r):
     M, D, J, S = ("mlp_meta_mamdr_finetune",
                   "mlp_meta_domain_negotiation_finetune", "mlp",
                   "mlp_separate")
-    for label, a, b, names in (
+    for label, a, b, a_names, b_names in (
         ("MAMDR > joint (paper Table 2: DN+DR beats Joined on every dataset)",
-         mamdr, joint, (M, J)),
-        ("MAMDR >= DN (DR on top of DN helps)", mamdr, dn, (M, D)),
-        ("DN > joint", dn, joint, (D, J)),
+         mamdr, joint, (M,), (J,)),
+        ("MAMDR >= DN (DR on top of DN helps)", mamdr, dn, (M,), (D,)),
+        ("DN > joint", dn, joint, (D,), (J,)),
         ("joint > separate (MDR transfers; per-domain training overfits "
-         "small domains)", joint, sep, (J, S)),
+         "small domains)", joint, sep, (J,), (S,)),
     ):
         if a is None or b is None:
             continue
         ok = "PASS" if a >= b else "FAIL"
         checks.append(
-            f"- **{ok}** {label}: {a:.4f} vs {b:.4f}" + cap_tag(*names))
+            f"- **{ok}** {label}: {a:.4f} vs {b:.4f}"
+            + cap_tag(ok, a_names, b_names))
     if mamdr is not None and sep is not None:
         ok = "PASS" if mamdr >= sep else "FAIL"
         checks.append(
             f"- **{ok}** MAMDR > separate (the paper's core claim: shared "
             f"meta-learning beats per-domain training): {mamdr:.4f} vs "
-            f"{sep:.4f}" + cap_tag(M, S)
+            f"{sep:.4f}" + cap_tag(ok, (M,), (S,))
         )
     if mamdr_test is not None and mamdr_ft is not None:
         ok = "PASS" if mamdr_ft >= mamdr_test - 0.002 else "FAIL"
@@ -169,7 +184,7 @@ def ordering_checks(r):
         checks.append(
             f"- **{ok}** STAR+MAMDR >= STAR (paper: MAMDR is model-agnostic "
             f"and improves any base): {star_m:.4f} vs {star:.4f}"
-            + cap_tag("star_meta_mamdr_finetune", "star")
+            + cap_tag(ok, ("star_meta_mamdr_finetune",), ("star",))
         )
     mtl = [(lbl, auc(n)) for lbl, n in
            (("MMoE", "mmoe"), ("PLE", "ple"),
@@ -181,13 +196,13 @@ def ordering_checks(r):
             f"- **{ok}** MAMDR > MTL baselines (paper Tables 2-3: DN+DR "
             f"beats the multi-task architectures): {mamdr:.4f} vs "
             + "/".join(f"{lbl} {v:.4f}" for lbl, v in mtl)
-            + cap_tag(M, "mmoe", "ple", "shared_bottom")
+            + cap_tag(ok, (M,), ("mmoe", "ple", "shared_bottom"))
         )
     if mamdr is not None and star is not None:
         ok = "PASS" if mamdr >= star else "FAIL"
         checks.append(
             f"- **{ok}** MAMDR (MLP base) > STAR (paper Table 3): "
-            f"{mamdr:.4f} vs {star:.4f}"
+            f"{mamdr:.4f} vs {star:.4f}" + cap_tag(ok, (M,), ("star",))
         )
     meta_all = [reported(n) for n in (
         "mlp_meta_reptile_finetune", "mlp_meta_maml_finetune",
@@ -198,8 +213,9 @@ def ordering_checks(r):
             f"- **{ok}** MAMDR beats generic meta baselines "
             f"(Reptile/MAML/MLDG): {mamdr:.4f} vs "
             + "/".join(f"{m:.4f}" for m in meta_all)
-            + cap_tag(M, "mlp_meta_reptile_finetune",
-                      "mlp_meta_maml_finetune", "mlp_meta_mldg_finetune")
+            + cap_tag(ok, (M,),
+                      ("mlp_meta_reptile_finetune", "mlp_meta_maml_finetune",
+                       "mlp_meta_mldg_finetune"))
         )
     return checks
 
