@@ -219,9 +219,19 @@ class TrainConfig:
     # bit-exact to optax.adam, ~11% faster fused epochs on v5e — see
     # train/flat_optimizer.py).
     flat_optimizer: bool = True
+    # Expert parallelism: shard MMoE/PLE expert banks' expert axis over the
+    # mesh's table (model) axis at init; XLA SPMD inserts the psum at the
+    # gate-mixing contraction (parallel/trainer_sharding.py, tests/
+    # test_expert_parallel.py). Default off: reference-scale expert banks are
+    # ~5.6MB total — thousands of times below the threshold where sharding an
+    # expert beats replicating it (docs/SCALING.md) — but the capability is
+    # there for production expert counts.
+    shard_experts: bool = False
     # MAMDR DR phase as vmapped query-domain lanes (fused.make_fused_dr_parallel):
     # "auto" = on when eligible (meta mask covers every trainable leaf, no
-    # batch statistics, replicated tables, lane HBM fits); "off" forces the
+    # batch statistics, lane HBM fits — row-sharded tables compose, frozen
+    # via closure constants and trainable via lane-stacked P(data, table)
+    # leaves); "off" forces the
     # sequential dr_phase; "on" skips the HBM heuristic and RAISES if the
     # config is structurally ineligible. The per-query DR work is independent
     # once DN fixes the shared weights; the reference chains Adam slots
@@ -230,6 +240,13 @@ class TrainConfig:
     # per-lane dropout streams — bit-identical under SGD/no-dropout,
     # learning-equivalent under Adam+dropout (RESULTS.md).
     dr_parallel: str = "auto"
+    # With dr_lane_chunk=C > 0 the parallel-DR lanes run as a scan over
+    # ⌈n_domain/C⌉ groups of C vmapped lanes (still one dispatch) — bounds
+    # concurrent lane HBM/graph size to C lanes, bitwise-equal to the
+    # unchunked dispatch (tests/test_fused_loop_equivalence.py). The control
+    # for large trainable-table domain counts (Amazon-13 shapes crashed the
+    # TPU worker at 13 unchunked lanes).
+    dr_lane_chunk: int = 0
     # Vmapped separate/finetune lanes (fused.make_fused_separate). False
     # forces the sequential per-domain loop — the reference-shaped fallback,
     # used to isolate a TPU-runtime incident where a vmapped finetune lane's

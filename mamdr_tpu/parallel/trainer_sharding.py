@@ -24,9 +24,20 @@ from mamdr_tpu.parallel.mesh import DATA_AXIS, TABLE_AXIS
 from mamdr_tpu.utils import trees
 
 
-def param_sharding_specs(params, mesh) -> Dict:
-    """Row-shard big embedding tables; replicate the rest."""
+def param_sharding_specs(params, mesh, shard_experts: bool = False) -> Dict:
+    """Row-shard big embedding tables; replicate the rest.
+
+    With ``shard_experts``, MMoE/PLE expert-bank leaves additionally shard
+    their leading expert axis over the table (model) axis — expert
+    parallelism. The expert einsum (``ebi,eio->ebo``, models/mtl.py) then
+    runs each device's expert slice locally and XLA SPMD inserts one psum at
+    the gate-mixing contraction (``tbe,ebd->tbd``). Gates, towers and
+    non-divisible banks (e.g. PLE's single shared expert) stay replicated.
+    Reference experts: model_zoo/DeepMTLCTR/deep_mtl_ctr.py:31-48
+    (single-GPU, replicated).
+    """
     tshards = mesh.shape[TABLE_AXIS]
+    _EXPERT = ("expert_kernel", "expert_bias")
 
     def spec(name: str, x):
         if (
@@ -35,14 +46,25 @@ def param_sharding_specs(params, mesh) -> Dict:
             and x.shape[0] % tshards == 0
         ):
             return NamedSharding(mesh, P(TABLE_AXIS, None))
+        if (
+            shard_experts
+            and any(k in name for k in _EXPERT)
+            and getattr(x, "ndim", 0) >= 2
+            and x.shape[0] % tshards == 0
+        ):
+            # [E, ...] (MMoE bank) or [T, t, ...] (PLE task experts): shard
+            # the leading bank axis
+            return NamedSharding(
+                mesh, P(TABLE_AXIS, *([None] * (x.ndim - 1)))
+            )
         return NamedSharding(mesh, P())
 
     return trees.named_tree_map(spec, params)
 
 
-def shard_train_state(state, mesh):
+def shard_train_state(state, mesh, shard_experts: bool = False):
     """Distribute a TrainState: params/opt by rule, scalars replicated."""
-    p_sh = param_sharding_specs(state.params, mesh)
+    p_sh = param_sharding_specs(state.params, mesh, shard_experts=shard_experts)
     params = jax.device_put(state.params, p_sh)
     repl = NamedSharding(mesh, P())
     # optimizer slots follow their params via jit propagation
@@ -66,7 +88,10 @@ def make_sharded_full_step(mesh, trainer):
     from mamdr_tpu.train.steps import make_train_step
 
     step_fn, _ = make_train_step(trainer.model, trainer.tx, trainer.step_cfg)
-    state = shard_train_state(trainer.state, mesh)
+    state = shard_train_state(
+        trainer.state, mesh,
+        shard_experts=getattr(trainer.config.train, "shard_experts", False),
+    )
     # re-init optimizer under jit so slots inherit the param shardings
     state = state.replace(opt_state=jax.jit(trainer.tx.init)(state.params))
     batch_sharding = NamedSharding(mesh, P(DATA_AXIS))

@@ -104,6 +104,22 @@ class MAMDRStrategy(MetaStrategy):
             and trainer.fused_padding_ok(ragged=True)
         )
 
+    def _row_sharded_table_mask(self):
+        """Bool tree over params: 2-D embedding tables the mesh lookup
+        row-shards (mirrors embedding_lookup's own predicate on the ACTUAL,
+        possibly padded, table shapes — raw dataset row counts can disagree
+        with what the lookup shards). TRAINABLE sharded tables included."""
+        t = self.trainer
+        from mamdr_tpu.parallel.mesh import TABLE_AXIS
+
+        tshards = t.mesh.shape[TABLE_AXIS]
+        min_rows = self.tc.sharded_lookup_min_rows
+        return trees.named_tree_map(
+            lambda n, x: "emb" in n and getattr(x, "ndim", 0) == 2
+            and x.shape[0] >= min_rows and x.shape[0] % tshards == 0,
+            t.state.params,
+        )
+
     def _dr_parallel_eligible(self) -> bool:
         """Gate for the vmapped-lanes DR phase (fused.make_fused_dr_parallel).
 
@@ -135,40 +151,21 @@ class MAMDRStrategy(MetaStrategy):
         # Under a device mesh, lanes SHARD over the data axis (each device
         # trains n_domain/n_data query domains — embarrassingly parallel,
         # docs/SCALING.md) and requires a divisible lane count. Row-sharded
-        # FROZEN tables compose with the lanes: they are closure constants of
-        # the subset step, so every lane's lookup is the same unbatched
-        # shard_map masked-gather+psum under vmap (vmap-of-shard_map batches
-        # only the ids; pinned to the single-device trajectory in
-        # tests/test_mesh_dr_parallel.py). Row-sharded TRAINABLE tables stay
-        # sequential: the lane states would stack per-lane table copies whose
-        # (lane, table)-sharded scatter-add updates are unexercised.
+        # tables compose with the lanes in both regimes: FROZEN tables are
+        # closure constants of the subset step, so every lane's lookup is the
+        # same unbatched shard_map masked-gather+psum under vmap; TRAINABLE
+        # tables are lane-stacked [L, rows, D] leaves sharded
+        # P(data, table, None) — the vmap batching rule handles the batched
+        # table operand through the shard_map lookup and its scatter-add
+        # transpose (tests/test_mesh_dr_parallel.py pins both compositions
+        # to the single-device trajectory).
         if t.mesh is not None:
-            from mamdr_tpu.parallel.mesh import DATA_AXIS, TABLE_AXIS
+            from mamdr_tpu.parallel.mesh import DATA_AXIS
 
             if self.n_domain % t.mesh.shape[DATA_AXIS] != 0:
                 return ineligible(
                     f"n_domain {self.n_domain} does not divide the mesh data "
                     f"axis {t.mesh.shape[DATA_AXIS]}"
-                )
-            # mirror embedding_lookup's own sharding predicate on the ACTUAL
-            # (possibly padded) table shapes — raw dataset row counts can
-            # disagree with what the lookup shards
-            tshards = t.mesh.shape[TABLE_AXIS]
-            min_rows = self.tc.sharded_lookup_min_rows
-            sharded_trainable = trees.named_tree_map(
-                lambda n, x: "emb" in n and getattr(x, "ndim", 0) == 2
-                and x.shape[0] >= min_rows and x.shape[0] % tshards == 0
-                and not (
-                    (not self.tc.emb_trainable)
-                    and ("user_emb" in n or "item_emb" in n)
-                ),
-                t.state.params,
-            )
-            if any(jax.tree_util.tree_leaves(sharded_trainable)):
-                return ineligible(
-                    "a TRAINABLE embedding table is row-sharded (lane-stacked "
-                    "sharded tables' scatter-add updates are unexercised "
-                    "under vmapped lanes; frozen row-sharded tables compose)"
                 )
         frozen = trees.named_tree_map(
             lambda n, x: (not self.tc.emb_trainable)
@@ -195,7 +192,19 @@ class MAMDRStrategy(MetaStrategy):
             )
             if not fz
         )
-        lane_bytes = 3 * self.n_domain * trainable_bytes  # params + 2 Adam slots
+        # params + 2 Adam slots per CONCURRENT lane; dr_lane_chunk bounds
+        # concurrency to C lanes (fused lane_chunk scan)
+        concurrent = self.n_domain
+        if self.tc.dr_lane_chunk > 0:
+            concurrent = min(concurrent, self.tc.dr_lane_chunk)
+        lane_bytes = 3 * concurrent * trainable_bytes
+        # Under a mesh every lane leaf shards over the data axis (tables
+        # additionally over the table axis — ignored here, conservative), so
+        # the per-DEVICE lane state is what competes for HBM.
+        if t.mesh is not None:
+            from mamdr_tpu.parallel.mesh import DATA_AXIS
+
+            lane_bytes /= t.mesh.shape[DATA_AXIS]
         # Budget: the device's actual free HBM with headroom, not a magic
         # constant (VERDICT r3 item 3). Lane state competes with the resident
         # data blocks, the base params/opt tree, and XLA scratch for the
@@ -325,13 +334,30 @@ class MAMDRStrategy(MetaStrategy):
             sub_step, to_sub, combine = make_subset_train_step(
                 t.model, t.tx, t.step_cfg, frozen_mask, t.state.params
             )
-            lane_sharding = None
+            lane_sharding = table_lane_sharding = None
+            row_sharded_shapes = ()
             if t.mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec
 
-                from mamdr_tpu.parallel.mesh import DATA_AXIS
+                from mamdr_tpu.parallel.mesh import DATA_AXIS, TABLE_AXIS
 
                 lane_sharding = NamedSharding(t.mesh, PartitionSpec(DATA_AXIS))
+                # lane-stacked copies of row-sharded TRAINABLE tables keep
+                # their row sharding: lane axis on data, rows on table
+                sharded_tbl = self._row_sharded_table_mask()
+                row_sharded_shapes = {
+                    leaf.shape
+                    for tbl, fz, leaf in zip(
+                        jax.tree_util.tree_leaves(sharded_tbl),
+                        jax.tree_util.tree_leaves(frozen_mask),
+                        jax.tree_util.tree_leaves(t.state.params),
+                    )
+                    if tbl and not fz
+                }
+                if row_sharded_shapes:
+                    table_lane_sharding = NamedSharding(
+                        t.mesh, PartitionSpec(DATA_AXIS, TABLE_AXIS, None)
+                    )
             self._dr_phase = fused.make_fused_dr_parallel(
                 sub_step,
                 to_sub,
@@ -343,6 +369,9 @@ class MAMDRStrategy(MetaStrategy):
                 self.tc.domain_regulation_step,
                 steps_list=t.steps_per_domain(),
                 lane_sharding=lane_sharding,
+                table_lane_sharding=table_lane_sharding,
+                row_sharded_shapes=row_sharded_shapes,
+                lane_chunk=self.tc.dr_lane_chunk,
             )
         self._spec_stack = fused.stack_specific(self.specific, self.mask)
         self._dn_compiled = self._dr_compiled = None

@@ -998,6 +998,9 @@ def make_fused_dr_parallel(
     shuffle: bool = True,
     steps_list=None,
     lane_sharding=None,
+    table_lane_sharding=None,
+    row_sharded_shapes=(),
+    lane_chunk: int = 0,
 ):
     """DR phase with every query domain as a vmapped lane — one dispatch.
 
@@ -1035,10 +1038,34 @@ def make_fused_dr_parallel(
     for the flagship (docs/SCALING.md "domain-level concurrency"). The data
     block and frozen tables stay replicated.
 
+    Row-sharded TRAINABLE tables (Amazon-style production shapes) compose
+    with the lanes too: the lane-stacked copies are [L, rows, D] leaves whose
+    lane axis shards over `data` and row axis over `table`
+    (`table_lane_sharding` = P(data, table, None); `row_sharded_shapes` is
+    the set of (rows, dim) shapes of the row-sharded param tables, used to
+    recognise those leaves across params / specific stacks). The vmap
+    batching rule for the shard_map lookup handles the batched table operand
+    — forward masked-gather+psum and its scatter-add transpose — and XLA
+    propagates the (data, table) layout through the lane bodies
+    (scripts/probe_lanes_sharded_trainable.py;
+    tests/test_mesh_dr_parallel.py pins single-device parity). Flat-Adam
+    slots stay lane-sharded only (the raveled vector mixes tables and
+    towers).
+
+    With ``lane_chunk=C > 0``, lanes run as a lax.scan over ⌈d/C⌉ groups of
+    C vmapped lanes instead of one d-wide vmap — same dispatch count (1),
+    but the concurrent lane state (params + opt slots + activations) is
+    bounded to C lanes. Every real lane's inputs are derived for the true d
+    (global lane indices for dropout fold_in, split(rng, d) for shuffles),
+    so chunked and unchunked results are bitwise-equal; pad lanes scatter
+    out-of-range and are dropped. This is the HBM/graph-size control for
+    large trainable-table domain counts (Amazon-13 shapes).
+
     Returned callable has the dr_phase signature:
     (state, shared, specific_stack, block, order, aux, rng, meta_lr)
     -> (state, specific_stack).
     """
+    row_sharded_shapes = frozenset(tuple(s) for s in row_sharded_shapes)
     steps_list = _effective_steps_list(steps_list, n_steps)
     steps_of = (
         None if steps_list is None else jnp.asarray(steps_list, jnp.int32)
@@ -1088,69 +1115,152 @@ def make_fused_dr_parallel(
             )
             return substate, spec_q
 
-        stack_d = lambda x: jnp.broadcast_to(
-            x[None], (d,) + jnp.shape(x)
-        )
-        # Per-lane dropout streams: fold the lane index into the state rng —
-        # a broadcast rng + equal step counters would give every query domain
-        # IDENTICAL dropout masks at aligned steps (the sequential dr_phase
-        # decorrelates them via distinct step offsets). No effect with
-        # dropout off (the state rng's only consumer).
+        def make_lane_states(lane_rngs_w, w):
+            stack_w = lambda x: jnp.broadcast_to(x[None], (w,) + jnp.shape(x))
+            return state.replace(
+                params=jax.tree_util.tree_map(stack_w, sub0),
+                opt_state=jax.tree_util.tree_map(stack_w, state.opt_state),
+                batch_stats=(
+                    jax.tree_util.tree_map(stack_w, state.batch_stats)
+                    if state.batch_stats else {}
+                ),
+                rng=lane_rngs_w,
+                step=jnp.full((w,), state.step, jnp.int32),
+            )
+
+        def constrain(x):
+            if lane_sharding is None:
+                return x
+            if (
+                table_lane_sharding is not None
+                and getattr(x, "ndim", 0) >= 3
+                and x.shape[1:3] in row_sharded_shapes
+            ):
+                return jax.lax.with_sharding_constraint(x, table_lane_sharding)
+            return jax.lax.with_sharding_constraint(x, lane_sharding)
+
+        shard_lanes = lambda t: jax.tree_util.tree_map(constrain, t)
+
+        # Per-lane dropout streams: fold the GLOBAL lane index into the state
+        # rng — a broadcast rng + equal step counters would give every query
+        # domain IDENTICAL dropout masks at aligned steps (the sequential
+        # dr_phase decorrelates them via distinct step offsets). No effect
+        # with dropout off (the state rng's only consumer). Derived for the
+        # true d (not the chunk-padded count) so chunked and unchunked lanes
+        # are bitwise-identical.
         lane_rngs = jax.vmap(lambda i: jax.random.fold_in(state.rng, i))(
             jnp.arange(d)
         )
-        lane_states = state.replace(
-            params=jax.tree_util.tree_map(stack_d, sub0),
-            opt_state=jax.tree_util.tree_map(stack_d, state.opt_state),
-            batch_stats=(
-                jax.tree_util.tree_map(stack_d, state.batch_stats)
-                if state.batch_stats else {}
-            ),
-            rng=lane_rngs,
-            step=jnp.full((d,), state.step, jnp.int32),
-        )
         # lane l handles query domain order[l] — identical per-lane rng
         # derivation to dr_phase's scan (split(rng, D)[l] then split(r, K)).
-        # Unmasked leaves are never read inside a lane (every weight op is
-        # mask-gated) and — by the caller's eligibility gate — are exactly
-        # the frozen tables; carry [d] scalar placeholders so the vmapped
-        # outputs never materialise d copies of a 125MB table.
-        spec_lanes = jax.tree_util.tree_map(
-            lambda m, s: s[order] if m else jnp.zeros((d,), s.dtype),
-            mask, specific_stack,
-        )
-        query_flats = jax.tree_util.tree_map(lambda v: v[order], block)
         rngs = jax.random.split(rng, d)
 
-        if lane_sharding is not None:
-            shard_lanes = lambda t: jax.tree_util.tree_map(
-                lambda x: jax.lax.with_sharding_constraint(x, lane_sharding), t
+        def pick_last(lane_states_w, local_idx):
+            last = jax.tree_util.tree_map(
+                lambda x: x[local_idx], lane_states_w.params
             )
-            lane_states = shard_lanes(lane_states)
+            return state.replace(
+                params=combine(last),
+                opt_state=jax.tree_util.tree_map(
+                    lambda x: x[local_idx], lane_states_w.opt_state
+                ),
+                batch_stats=(
+                    jax.tree_util.tree_map(
+                        lambda x: x[local_idx], lane_states_w.batch_stats
+                    )
+                    if state.batch_stats else {}
+                ),
+                step=lane_states_w.step[local_idx],
+            )
+
+        if lane_chunk <= 0 or d <= lane_chunk:
+            # ---- single dispatch: all lanes in one vmap ----
+            # Unmasked leaves are never read inside a lane (every weight op
+            # is mask-gated) and — by the caller's eligibility gate — are
+            # exactly the frozen tables; carry [d] scalar placeholders so the
+            # vmapped outputs never materialise d copies of a 125MB table.
+            spec_lanes = jax.tree_util.tree_map(
+                lambda m, s: s[order] if m else jnp.zeros((d,), s.dtype),
+                mask, specific_stack,
+            )
+            query_flats = jax.tree_util.tree_map(lambda v: v[order], block)
+            lane_states = shard_lanes(make_lane_states(lane_rngs, d))
             spec_lanes = shard_lanes(spec_lanes)
             query_flats = shard_lanes(query_flats)
 
-        lane_states, spec_lanes = jax.vmap(lane)(
-            lane_states, spec_lanes, query_flats, aux, rngs, order
+            lane_states, spec_lanes = jax.vmap(lane)(
+                lane_states, spec_lanes, query_flats, aux, rngs, order
+            )
+
+            specific_stack = jax.tree_util.tree_map(
+                lambda m, st, lanes: st.at[order].set(lanes) if m else st,
+                mask, specific_stack, spec_lanes,
+            )
+            return pick_last(lane_states, -1), specific_stack
+
+        # ---- chunked: lax.scan over ceil(d/C) groups of C lanes ----
+        # Bounds the CONCURRENT lane state (params + opt slots + activations)
+        # to C lanes — the HBM/graph-size control for large domain counts
+        # (Amazon-13's 13 trainable-table lanes crashed the TPU worker; see
+        # strategies/mamdr.py). Lanes are padded to a multiple of C with
+        # order[0] repeats whose spec writebacks scatter out-of-range
+        # (mode="drop") — every real lane's inputs (entry state, rngs[l],
+        # fold_in(rng, l)) are identical to the unchunked dispatch, so the
+        # results are bitwise-equal (test_fused_loop_equivalence).
+        C = int(lane_chunk)
+        n_chunks = -(-d // C)
+        padn = n_chunks * C - d
+
+        def pad_lanes(x):
+            if padn == 0:
+                return x
+            return jnp.concatenate(
+                [x, jnp.broadcast_to(x[:1], (padn,) + x.shape[1:])]
+            )
+
+        DROP = jnp.int32(2**30)  # out-of-range scatter index for pad lanes
+        scatter_idx = jnp.concatenate(
+            [order, jnp.full((padn,), DROP)]
+        ) if padn else order
+        to_chunks = lambda x: x.reshape((n_chunks, C) + x.shape[1:])
+        xs = (
+            to_chunks(pad_lanes(order)),
+            to_chunks(scatter_idx),
+            to_chunks(pad_lanes(aux)),
+            to_chunks(pad_lanes(rngs)),
+            to_chunks(pad_lanes(lane_rngs)),
+            # local index of the lane whose state chains out (the global
+            # last REAL lane d-1 sits in the final chunk)
+            jnp.clip(jnp.int32(d - 1) - jnp.arange(n_chunks, dtype=jnp.int32) * C,
+                     0, C - 1),
         )
 
-        specific_stack = jax.tree_util.tree_map(
-            lambda m, st, lanes: st.at[order].set(lanes) if m else st,
-            mask, specific_stack, spec_lanes,
+        def chunk_body(spec_stack_c, xs_c):
+            order_c, sidx_c, aux_c, rngs_c, lrngs_c, keep_local = xs_c
+            spec_lanes = jax.tree_util.tree_map(
+                lambda m, s: s[order_c] if m else jnp.zeros((C,), s.dtype),
+                mask, spec_stack_c,
+            )
+            query_flats = jax.tree_util.tree_map(lambda v: v[order_c], block)
+            lane_states = shard_lanes(make_lane_states(lrngs_c, C))
+            spec_lanes = shard_lanes(spec_lanes)
+            query_flats = shard_lanes(query_flats)
+
+            lane_states, spec_lanes = jax.vmap(lane)(
+                lane_states, spec_lanes, query_flats, aux_c, rngs_c, order_c
+            )
+            spec_stack_c = jax.tree_util.tree_map(
+                lambda m, st, lanes: st.at[sidx_c].set(lanes, mode="drop")
+                if m else st,
+                mask, spec_stack_c, spec_lanes,
+            )
+            return spec_stack_c, pick_last(lane_states, keep_local)
+
+        specific_stack, last_states = jax.lax.scan(
+            chunk_body, specific_stack, xs
         )
-        last = jax.tree_util.tree_map(lambda x: x[-1], lane_states.params)
-        state = state.replace(
-            params=combine(last),
-            opt_state=jax.tree_util.tree_map(
-                lambda x: x[-1], lane_states.opt_state
-            ),
-            batch_stats=(
-                jax.tree_util.tree_map(lambda x: x[-1], lane_states.batch_stats)
-                if state.batch_stats else {}
-            ),
-            step=lane_states.step[-1],
-        )
-        return state, specific_stack
+        final_state = jax.tree_util.tree_map(lambda x: x[-1], last_states)
+        return final_state, specific_stack
 
     return dr_parallel
 

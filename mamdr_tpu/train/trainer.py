@@ -140,7 +140,12 @@ class Trainer:
             # layout through the jitted init.
             from mamdr_tpu.parallel.trainer_sharding import param_sharding_specs
 
-            params = jax.device_put(params, param_sharding_specs(params, mesh))
+            params = jax.device_put(
+                params,
+                param_sharding_specs(
+                    params, mesh, shard_experts=tc.shard_experts
+                ),
+            )
         self.state = TrainState.create(
             params=params,
             opt_state=self.fns.init_opt(params),

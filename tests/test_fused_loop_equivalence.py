@@ -490,3 +490,46 @@ def test_parallel_dr_equals_sequential_dr(tmp_path, ragged):
         b = fused.unstack_specific(spec_par, s2.mask, 3)[q]
         assert_trees_close(a, b)
     assert_trees_close(st1.params, st2.params)
+
+
+def test_chunked_lanes_equal_unchunked(tmp_path):
+    # lane_chunk=C runs the lanes as a scan over ⌈d/C⌉ groups (the HBM/
+    # graph-size control for Amazon-13-scale trainable-table lanes). Every
+    # real lane's inputs — entry state, split(rng, d)[l], fold_in(rng, l) —
+    # are derived for the TRUE d, so the chunked result must be bitwise the
+    # unchunked one, Adam + dropout included; d=3 with C=2 exercises the
+    # padded final chunk whose writeback scatters out-of-range (drop).
+    AUX = np.asarray([[1, 2, 0], [2, 0, 1], [0, 1, 2]], np.int32)
+    extra = {
+        "specific_init": "zeros", "sample_num": 2, "add_query_domain": True,
+        "dropout": 0.5,
+    }
+    t1, ds = make_trainer(tmp_path, 1, "mlp_meta_mamdr", extra)
+    s1 = MAMDRStrategy(t1)
+    shared = t1.state.params
+    block, n_steps = fused.stack_domains_on_device(ds.train, BATCH)
+    from mamdr_tpu.train.steps import make_subset_train_step
+
+    frozen_mask = trees.named_tree_map(lambda n, x: False, t1.state.params)
+    sub_step, to_sub, combine = make_subset_train_step(
+        t1.model, t1.tx, t1.step_cfg, frozen_mask, t1.state.params
+    )
+    results = []
+    for chunk in (0, 2):
+        dr = fused.make_fused_dr_parallel(
+            sub_step, to_sub, combine, s1.mask, "plus", n_steps, BATCH,
+            domain_regulation_step=0, shuffle=True, lane_chunk=chunk,
+        )
+        spec = fused.stack_specific(s1.specific, s1.mask)
+        st, spec = dr(
+            t1.state, shared, spec, block, np.asarray(ORDER, np.int32),
+            AUX, jax.random.PRNGKey(11), 0.1,
+        )
+        results.append((st, spec))
+    (st_a, spec_a), (st_b, spec_b) = results
+    for q in ORDER:
+        a = fused.unstack_specific(spec_a, s1.mask, 3)[q]
+        b = fused.unstack_specific(spec_b, s1.mask, 3)[q]
+        assert_trees_close(a, b)
+    assert_trees_close(st_a.params, st_b.params)
+    assert_trees_close(st_a.opt_state, st_b.opt_state)
