@@ -43,11 +43,17 @@ def enable_compile_cache():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
-def main():
-    import jax
+def build_bench_strategy():
+    """The flagship bench workload, shared with scripts/prewarm_bench.py —
+    the prewarm stage must trace IDENTICAL HLO so its persistent-cache
+    entries hit here (axon deserializes the cache across processes; keys
+    are process-stable, PERF.md round-3 finding).
 
-    _bench_start = time.time()
-    enable_compile_cache()
+    Returns (trainer, strat, meta) with meta holding the shape constants.
+    """
+    import os as _os
+
+    import jax
 
     from mamdr_tpu.config import ExperimentConfig
     from mamdr_tpu.data.synthetic import make_synthetic_dataset
@@ -59,8 +65,6 @@ def main():
     n_pid = 100_000
     n_per_domain = 20_000
     batch_size = 1024
-
-    import os as _os
 
     cfg = ExperimentConfig.from_dict(
         {
@@ -109,6 +113,24 @@ def main():
 
     trainer = Trainer(cfg, ds, verbose=False)
     strat = MAMDRStrategy(trainer)
+    meta = dict(
+        n_domain=n_domain, n_uid=n_uid, n_pid=n_pid,
+        n_per_domain=n_per_domain, batch_size=batch_size,
+    )
+    return trainer, strat, meta
+
+
+def main():
+    import jax
+
+    _bench_start = time.time()
+    enable_compile_cache()
+
+    import os as _os
+
+    trainer, strat, meta = build_bench_strategy()
+    cfg, ds = trainer.config, trainer.dataset
+    n_domain, batch_size = meta["n_domain"], meta["batch_size"]
 
     # The flat-vector Adam (one fused update kernel) must be active — its
     # absence was the suspected cause of the r01 8.65M-vs-10.4M gap.

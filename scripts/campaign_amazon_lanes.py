@@ -80,10 +80,17 @@ def main():
         cfg.train.epoch = EPOCH_CAP
         cfg.train.patience = PATIENCE
         cfg.train.dr_parallel = "on"  # force the vmapped-lanes DR phase
+        # A13's 13 unchunked trainable-table lanes crashed the TPU worker
+        # (r2 + r4); LANES_CHUNK_A13=C runs the lanes as ⌈13/C⌉ scanned
+        # groups — bitwise-equal, bounded concurrent lane HBM (set from the
+        # scripts/bisect_a13_lanes.py verdict).
+        if bench == "Amazon_13":
+            cfg.train.dr_lane_chunk = int(os.environ.get("LANES_CHUNK_A13", "0"))
         cfg.train.checkpoint_path = osp.join(ROOT, "ckpt", bench)
         cfg.train.result_save_path = osp.join(ROOT, "result", bench)
         t0 = time.time()
-        entry = {"dr_parallel": "on"}
+        entry = {"dr_parallel": "on",
+                 "dr_lane_chunk": cfg.train.dr_lane_chunk}
         try:
             trainer = Trainer(cfg, dataset, verbose=False)
             strat = build_strategy(trainer)

@@ -99,6 +99,11 @@ MATRIX = {
         "mlp_meta_domain_negotiation_finetune",
         "mlp_meta_maml_finetune", "mlp_meta_mldg_finetune",
         "mlp_meta_reptile_finetune", "mlp_pcgrad",
+        # both PCGrad modes as first-class rows (VERDICT r4 item 9): the
+        # reference's own dot>0/‖g‖ projection quirk diverges on this
+        # correlated-gradient synthetic (RESULTS.md note) — the published
+        # rule is reported beside it so the table carries its own evidence
+        "mlp_pcgrad@paper",
         "mlp_uncertainty_weight", "shared_bottom", "star",
     ],
     "Taobao_20": [
@@ -255,7 +260,12 @@ def run_variant(bench, model_name, dataset, results):
     from mamdr_tpu.train.trainer import Trainer
 
     key = f"{bench}/{model_name}"
+    # "name@paper" = same model/config with the PUBLISHED PCGrad rule
+    # (project on dot<0, normalise by ‖g‖²) instead of the reference quirk
+    model_name, _, variant_tag = model_name.partition("@")
     cfg = benchmark_config(bench, model_name)
+    if variant_tag == "paper":
+        cfg.train.pcgrad_mode = "paper"
     cfg.train.epoch = EPOCH_CAP
     cfg.train.patience = PATIENCE
     if bench.startswith("Amazon") and "mamdr" in model_name:
@@ -269,8 +279,15 @@ def run_variant(bench, model_name, dataset, results):
         # reference defines. Taobao (frozen tables) keeps the fused lanes.
         cfg.train.dr_parallel = "off"
         cfg.train.separate_fused = False
-    cfg.train.checkpoint_path = osp.join(ROOT, "ckpt", bench)
-    cfg.train.result_save_path = osp.join(ROOT, "result", bench)
+    # per-variant dirs (the @paper tag shares mc.name with the base variant)
+    dir_tag = bench + ("@" + variant_tag if variant_tag else "")
+    cfg.train.checkpoint_path = osp.join(ROOT, "ckpt", dir_tag)
+    cfg.train.result_save_path = osp.join(ROOT, "result", dir_tag)
+    # Long uncapped reruns survive TPU crashes / session restarts: snapshot
+    # the full train state (params, opt, stopper, rngs) every 10 epochs and
+    # resume when a snapshot exists (VERDICT r4 item 1 — per-epoch resume).
+    cfg.train.resume = True
+    cfg.train.resume_every = 10
     t0 = time.time()
     entry = {}
     try:

@@ -31,7 +31,8 @@ PRETTY = {
     "star": "STAR (pn, star-dense)",
     "mlp_separate": "MLP separate",
     "mlp_uncertainty_weight": "MLP + UncertaintyWeight",
-    "mlp_pcgrad": "MLP + PCGrad",
+    "mlp_pcgrad": "MLP + PCGrad (reference quirk)",
+    "mlp_pcgrad@paper": "MLP + PCGrad (published rule)",
     "mlp_meta_reptile_finetune": "MLP + Reptile",
     "mlp_meta_maml_finetune": "MLP + MAML",
     "mlp_meta_mldg_finetune": "MLP + MLDG",
@@ -95,8 +96,13 @@ def cap_note(rows_dict):
     return []
 
 
-def ordering_checks(r):
+def ordering_checks(r, collect_unresolved=None):
     """The paper's qualitative claims, checked on our numbers.
+
+    With ``collect_unresolved`` (a list), appends the variant names whose
+    epoch-capped state leaves a check unresolved (capped AND on the losing
+    side of the current verdict) — the requeue set for an uncapped rerun
+    (scripts/requeue_unresolved.py).
 
     Protocol note: for *_finetune variants the number the reference's
     save_result records — and hence what its tables report — is the
@@ -128,6 +134,8 @@ def ordering_checks(r):
         winning = a_names if ok == "PASS" else b_names
         hit_losing = [n for n in losing if n in capped]
         hit_winning = [n for n in winning if n in capped]
+        if hit_losing and collect_unresolved is not None:
+            collect_unresolved.extend(hit_losing)
         if hit_losing:
             return (" _(unresolved at the epoch cap: "
                     + ", ".join(PRETTY.get(n, n) for n in hit_losing)
@@ -529,10 +537,18 @@ def main():
         if len(md) >= 2:
             summary += (
                 f" MAMDR−DN: mean **{st.mean(md):+.4f}**, "
-                f"std {st.stdev(md):.4f} (DR on A13 is capped at "
-                f"domain_regulation_step=1, so MAMDR≈DN there by "
-                f"construction; the margin is a statistical tie)."
+                f"std {st.stdev(md):.4f}"
             )
+            if tag == "a13":
+                summary += (
+                    " (DR on A13 is capped at domain_regulation_step=1, so "
+                    "MAMDR≈DN there by construction; the margin is a "
+                    "statistical tie)."
+                )
+            else:
+                summary += (
+                    f" — positive on {sum(x>0 for x in md)}/{len(md)} seeds."
+                )
         return [
             "",
             "### Seed-variance analysis (full-scale generator seeds, "
