@@ -167,6 +167,15 @@ class MAMDRStrategy(MetaStrategy):
                     f"n_domain {self.n_domain} does not divide the mesh data "
                     f"axis {t.mesh.shape[DATA_AXIS]}"
                 )
+            if (
+                0 < self.tc.dr_lane_chunk
+                and self.tc.dr_lane_chunk % t.mesh.shape[DATA_AXIS] != 0
+            ):
+                return ineligible(
+                    f"dr_lane_chunk {self.tc.dr_lane_chunk} does not divide "
+                    f"the mesh data axis {t.mesh.shape[DATA_AXIS]} (each "
+                    "scanned chunk shards its lanes over that axis)"
+                )
         frozen = trees.named_tree_map(
             lambda n, x: (not self.tc.emb_trainable)
             and ("user_emb" in n or "item_emb" in n),

@@ -44,7 +44,7 @@ def make(tmp_path, tag):
     return Trainer(cfg, ds, verbose=False), ds
 
 
-def run_dr(t, ds, s, lane_sharding):
+def run_dr(t, ds, s, lane_sharding, lane_chunk=0):
     frozen_mask = trees.named_tree_map(lambda n, x: False, t.state.params)
     sub_step, to_sub, combine = make_subset_train_step(
         t.model, t.tx, t.step_cfg, frozen_mask, t.state.params
@@ -53,6 +53,7 @@ def run_dr(t, ds, s, lane_sharding):
     dr = fused.make_fused_dr_parallel(
         sub_step, to_sub, combine, s.mask, "plus", n_steps, BATCH,
         domain_regulation_step=0, shuffle=True, lane_sharding=lane_sharding,
+        lane_chunk=lane_chunk,
     )
     spec = fused.stack_specific(s.specific, s.mask)
     order = np.arange(D, dtype=np.int32)
@@ -157,6 +158,33 @@ def test_lane_parallel_dr_with_row_sharded_frozen_tables(tmp_path):
                                    rtol=2e-5, atol=2e-6)
     for a, b in zip(jax.tree_util.tree_leaves(s0.shared),
                     jax.tree_util.tree_leaves(s1.shared)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-6)
+
+
+def test_chunked_lanes_on_mesh_match_single_device(tmp_path):
+    """lane_chunk composes with lane sharding: each scanned chunk's C lanes
+    shard over the data axis (C must be a multiple of it — the eligibility
+    gate enforces that for the strategy path). 8 lanes, chunks of 4, data
+    axis 4: two scanned groups, each lane-sharded, same trajectory as the
+    unchunked single-device dispatch."""
+    t0, ds0 = make(tmp_path, 0)
+    s0 = MAMDRStrategy(t0)
+    st0, spec0 = run_dr(t0, ds0, s0, lane_sharding=None)
+
+    mesh = make_mesh(jax.devices()[:8], table_parallelism=2)  # data=4
+    lane_sharding = NamedSharding(mesh, PartitionSpec(DATA_AXIS))
+    t1, ds1 = make(tmp_path, 1)
+    s1 = MAMDRStrategy(t1)
+    st1, spec1 = run_dr(t1, ds1, s1, lane_sharding=lane_sharding,
+                        lane_chunk=4)
+
+    for a, b in zip(jax.tree_util.tree_leaves(spec0),
+                    jax.tree_util.tree_leaves(spec1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(st0.params),
+                    jax.tree_util.tree_leaves(st1.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-5, atol=2e-6)
 
