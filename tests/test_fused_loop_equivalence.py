@@ -492,7 +492,8 @@ def test_parallel_dr_equals_sequential_dr(tmp_path, ragged):
     assert_trees_close(st1.params, st2.params)
 
 
-def test_chunked_lanes_equal_unchunked(tmp_path):
+@pytest.mark.parametrize("ragged", [False, True])
+def test_chunked_lanes_equal_unchunked(tmp_path, ragged):
     # lane_chunk=C runs the lanes as a scan over ⌈d/C⌉ groups (the HBM/
     # graph-size control for Amazon-13-scale trainable-table lanes). Every
     # real lane's inputs — entry state, split(rng, d)[l], fold_in(rng, l) —
@@ -508,6 +509,7 @@ def test_chunked_lanes_equal_unchunked(tmp_path):
     s1 = MAMDRStrategy(t1)
     shared = t1.state.params
     block, n_steps = fused.stack_domains_on_device(ds.train, BATCH)
+    steps_list = fused.domain_step_counts(ds.train, BATCH) if ragged else None
     from mamdr_tpu.train.steps import make_subset_train_step
 
     frozen_mask = trees.named_tree_map(lambda n, x: False, t1.state.params)
@@ -519,6 +521,7 @@ def test_chunked_lanes_equal_unchunked(tmp_path):
         dr = fused.make_fused_dr_parallel(
             sub_step, to_sub, combine, s1.mask, "plus", n_steps, BATCH,
             domain_regulation_step=0, shuffle=True, lane_chunk=chunk,
+            steps_list=steps_list,
         )
         spec = fused.stack_specific(s1.specific, s1.mask)
         st, spec = dr(
