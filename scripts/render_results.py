@@ -363,6 +363,14 @@ def lanes_parity_block(bench):
                 "evidence for the flagship path on trainable embeddings.",
             ]
         return []
+    entry = v.get(f"{bench}/mlp_meta_mamdr_finetune@lanes", {})
+    chunk = entry.get("dr_lane_chunk", 0)
+    chunk_note = (
+        f" Lanes ran chunked (dr_lane_chunk={chunk}: scanned groups of "
+        f"{chunk} lanes, bitwise-equal to unchunked — the r5 fix for the "
+        "13-lane worker crash; scripts/bisect_a13_lanes.py)."
+        if chunk else ""
+    )
     return [
         "",
         f"Parallel-lanes DR parity (scripts/campaign_amazon_lanes.py): the "
@@ -370,7 +378,7 @@ def lanes_parity_block(bench):
         f"dr_parallel='on', lane budget from device memory_stats) trained "
         f"this benchmark end-to-end on trainable embeddings — finetuned AUC "
         f"**{p['lanes_ft']:.4f}** vs the sequential row's "
-        f"{p['sequential_ft']:.4f} (delta {p['delta']:+.4f}).",
+        f"{p['sequential_ft']:.4f} (delta {p['delta']:+.4f})." + chunk_note,
     ]
 
 
