@@ -693,8 +693,27 @@ def main():
             elif bench == "Taobao-10":
                 lines += t10_variance_block()
                 lines += taobao_regime_note(bench, dict(rows))
+                pcp = dict(rows).get("mlp_pcgrad@paper", {}).get("test", {})
                 pc = dict(rows).get("mlp_pcgrad", {}).get("test", {})
-                if pc and pc.get("avg_auc", 1.0) < 0.55:
+                if pc and pc.get("avg_auc", 1.0) < 0.55 and pcp:
+                    lines += [
+                        "",
+                        "PCGrad note: the two PCGrad rows differ ONLY in the "
+                        "projection rule (train.pcgrad_mode). The reference's "
+                        "own quirk (pcgrad.py:152-160: project when dot>0 — "
+                        "when gradients AGREE — normalised by ‖g‖; our op is "
+                        "a numpy-oracle match, test_strategy_ops) strips the "
+                        "learning signal on this correlated-gradient "
+                        "synthetic and diverges "
+                        f"(AUC {pc['avg_auc']:.4f}); the PUBLISHED rule "
+                        "(project on dot<0 by ‖g‖²) learns "
+                        f"{pcp['avg_auc']:.4f} on the identical run. The "
+                        "same reference quirk trains fine on Taobao-30 "
+                        "(0.76), where the starving tails decorrelate the "
+                        "domain gradients — the divergence is a property of "
+                        "the quirk on this data, not of the port.",
+                    ]
+                elif pc and pc.get("avg_auc", 1.0) < 0.55:
                     lines += [
                         "",
                         "PCGrad note: the row above runs the REFERENCE'S OWN "
