@@ -367,6 +367,39 @@ class MAMDRStrategy(MetaStrategy):
                     table_lane_sharding = NamedSharding(
                         t.mesh, PartitionSpec(DATA_AXIS, TABLE_AXIS, None)
                     )
+            lane_chunk = self.tc.dr_lane_chunk
+            if lane_chunk == 0:
+                # Auto-chunk wide TRAINABLE-table lane fans: 13 unchunked
+                # lanes at Amazon-13 shapes crash the TPU worker
+                # deterministically while 7-lane chunks run clean
+                # (bisect_a13.json — width-triggered, threshold in (7, 13]).
+                # Frozen-table lanes (Taobao, 10-30 domains) have run whole
+                # campaigns unchunked and stay that way.
+                # the crash driver is the BIG lane-stacked user/item tables;
+                # the tiny always-trainable domain table is not it (frozen-
+                # table Taobao fans up to 30 lanes ran whole campaigns clean)
+                any_trainable_table = any(
+                    tbl and not fz
+                    for tbl, fz in zip(
+                        jax.tree_util.tree_leaves(
+                            trees.named_tree_map(
+                                lambda n, x: ("user_emb" in n
+                                              or "item_emb" in n)
+                                and getattr(x, "ndim", 0) == 2,
+                                t.state.params,
+                            )
+                        ),
+                        jax.tree_util.tree_leaves(frozen_mask),
+                    )
+                )
+                if any_trainable_table and self.n_domain > 7:
+                    lane_chunk = 7
+                    if t.mesh is not None:
+                        from mamdr_tpu.parallel.mesh import DATA_AXIS
+
+                        data = t.mesh.shape[DATA_AXIS]
+                        lane_chunk = max((7 // data) * data, data)
+            self._dr_lane_chunk_effective = lane_chunk
             self._dr_phase = fused.make_fused_dr_parallel(
                 sub_step,
                 to_sub,
@@ -380,7 +413,7 @@ class MAMDRStrategy(MetaStrategy):
                 lane_sharding=lane_sharding,
                 table_lane_sharding=table_lane_sharding,
                 row_sharded_shapes=row_sharded_shapes,
-                lane_chunk=self.tc.dr_lane_chunk,
+                lane_chunk=lane_chunk,
             )
         self._spec_stack = fused.stack_specific(self.specific, self.mask)
         self._dn_compiled = self._dr_compiled = None

@@ -283,6 +283,38 @@ def test_dr_parallel_eligibility_gate(tmp_path):
     assert not s3._dr_parallel_eligible()
 
 
+def test_auto_lane_chunk_for_wide_trainable_fans(tmp_path):
+    """Wide TRAINABLE-table lane fans auto-chunk to 7 lanes per scanned
+    group: 13 unchunked lanes at Amazon-13 shapes crash the TPU worker
+    deterministically while 7-lane chunks run clean (bisect_a13.json —
+    width-triggered). Narrow fans and explicit dr_lane_chunk are untouched."""
+    t = make_trainer(tmp_path, name="mlp_meta_mamdr", n_domain=9)
+    s = build_strategy(t)
+    assert s._dr_parallel_eligible()
+    s.prepare_fused()
+    assert s._dr_lane_chunk_effective == 7  # auto (trainable tables, d>7)
+
+    t2 = make_trainer(tmp_path, name="mlp_meta_mamdr", n_domain=4)
+    s2 = build_strategy(t2)
+    s2.prepare_fused()
+    assert s2._dr_lane_chunk_effective == 0  # narrow fan: unchunked
+
+    t3 = make_trainer(tmp_path, name="mlp_meta_mamdr", n_domain=9)
+    t3.config.train.dr_lane_chunk = 3
+    s3 = build_strategy(t3)
+    s3.prepare_fused()
+    assert s3._dr_lane_chunk_effective == 3  # explicit knob wins
+
+    # frozen user/item tables (Taobao regime): wide fans stay unchunked —
+    # the lane state excludes the big tables (subset step) and 30-lane
+    # frozen campaigns ran clean
+    t4 = make_trainer(tmp_path, name="mlp_meta_mamdr", n_domain=9)
+    t4.config.train.emb_trainable = False
+    s4 = build_strategy(t4)
+    s4.prepare_fused()
+    assert s4._dr_lane_chunk_effective == 0
+
+
 def test_many_domains_fused_dn(tmp_path):
     """The production scaling axis is domain COUNT (paper: thousands of
     domains, avg AUC over 69,102 production domains — SURVEY §5.7). The
