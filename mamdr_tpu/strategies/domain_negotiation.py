@@ -42,7 +42,9 @@ class DomainNegotiationStrategy(MetaStrategy):
         )
         meta = t.state.params
         sequence = self.meta_sequence()
-        for epoch in range(self.tc.epoch):
+        start_epoch, ex = self.try_resume_meta({"meta": meta})
+        meta = ex["meta"]
+        for epoch in range(start_epoch, self.tc.epoch):
             if t.verbose:
                 print(f"Epoch: {epoch}", "-" * 30)
             if self.tc.shuffle_sequence:
@@ -54,6 +56,7 @@ class DomainNegotiationStrategy(MetaStrategy):
             )
             if self.epoch_tail(epoch):
                 break
+            self.maybe_snapshot(epoch, {"meta": meta})
 
     def _train_loop(self) -> None:
         t = self.trainer

@@ -125,7 +125,11 @@ class MAMLStrategy(MetaStrategy):
         )
         meta = t.state.params
         sequence = self.domain_sequence()
-        for epoch in range(self.tc.epoch):
+        start_epoch, ex = self.try_resume_meta(
+            {"meta": meta, "meta_opt": self.meta_opt_state}
+        )
+        meta, self.meta_opt_state = ex["meta"], ex["meta_opt"]
+        for epoch in range(start_epoch, self.tc.epoch):
             if t.verbose:
                 print(f"Epoch: {epoch}", "-" * 30)
             t.np_rng.shuffle(sequence)
@@ -136,6 +140,9 @@ class MAMLStrategy(MetaStrategy):
             )
             if self.epoch_tail(epoch):
                 break
+            self.maybe_snapshot(
+                epoch, {"meta": meta, "meta_opt": self.meta_opt_state}
+            )
 
     def _train_loop(self) -> None:
         t = self.trainer

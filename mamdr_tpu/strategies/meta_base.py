@@ -229,6 +229,27 @@ class MetaStrategy(Strategy):
     def save_best(self) -> None:
         self.trainer.save_checkpoint()
 
+    # ---------------- crash/restart resume (fused loops) ----------------
+
+    def try_resume_meta(self, extra: Dict) -> Tuple[int, Dict]:
+        """Resume a meta training loop from the variant's resume snapshot
+        (train.resume; written by maybe_snapshot). Restores the trainer
+        state, stopper, rng streams, and the strategy's extra trees (meta
+        weights, meta-optimizer slots). Returns (start_epoch, extras)."""
+        resumed = self.trainer.try_resume(extra)
+        if resumed is None:
+            return 0, extra
+        start, ex = resumed
+        return start, {k: ex.get(k, v) for k, v in extra.items()}
+
+    def maybe_snapshot(self, epoch: int, extra: Dict) -> None:
+        """Atomic full-state snapshot every resume_every epochs — long
+        uncapped runs survive TPU worker crashes and session restarts
+        (reference has nothing comparable: its MAMDR cannot even resume
+        across processes, SURVEY §5.4)."""
+        if self.tc.resume_every > 0 and (epoch + 1) % self.tc.resume_every == 0:
+            self.trainer.save_resume_state(epoch, extra_trees=extra)
+
     def fit_target_domain(self, state):
         """Full-epoch pass on the held-out target domain after the outer
         update (reference maml.py:125-128, domain_negotiation.py:90-94)."""

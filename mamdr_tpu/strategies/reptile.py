@@ -37,7 +37,9 @@ class ReptileStrategy(MetaStrategy):
         )
         meta = t.state.params
         sequence = self.domain_sequence()
-        for epoch in range(self.tc.epoch):
+        start_epoch, ex = self.try_resume_meta({"meta": meta})
+        meta = ex["meta"]
+        for epoch in range(start_epoch, self.tc.epoch):
             if t.verbose:
                 print(f"Epoch: {epoch}", "-" * 30)
             t.np_rng.shuffle(sequence)
@@ -48,6 +50,7 @@ class ReptileStrategy(MetaStrategy):
             )
             if self.epoch_tail(epoch):
                 break
+            self.maybe_snapshot(epoch, {"meta": meta})
 
     def _train_loop(self) -> None:
         t = self.trainer

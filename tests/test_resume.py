@@ -98,6 +98,31 @@ def test_mamdr_resume(tmp_path):
     assert len(domain_auc) == 2 and np.isfinite(avg_loss)
 
 
+def test_meta_family_resume(tmp_path):
+    """r5: the whole meta family (MLDG here; MAML/Reptile/DN share
+    meta_base.try_resume_meta/maybe_snapshot) snapshots and resumes its
+    fused loop — meta weights + meta-optimizer slots + stopper + rngs —
+    so uncapped reruns continue instead of restarting (VERDICT r4 item 1)."""
+    for name, extra in (
+        ("mlp_meta_mldg", {"meta_learning_rate": 0.001}),
+        ("mlp_meta_domain_negotiation", {"meta_learning_rate": 0.1}),
+    ):
+        sub = tmp_path / name
+        sub.mkdir()
+        cfg, ds = make(sub, name=name, epochs=2, **extra)
+        t = Trainer(cfg, ds, verbose=False)
+        s = build_strategy(t)
+        s.run()
+        assert checkpoints.has_train_state(t.resume_dir), name
+
+        cfg2, _ = make(sub, name=name, epochs=3, **extra)
+        cfg2.train.resume = True
+        t2 = Trainer(cfg2, ds, verbose=False)
+        s2 = build_strategy(t2)
+        avg_loss, avg_auc, _, domain_auc = s2.run()
+        assert len(domain_auc) == 2 and np.isfinite(avg_loss), name
+
+
 def test_per_domain_finetune_artifacts(tmp_path):
     """separate/finetune writes domain_{idx}.npz best-weights artifacts
     (reference ModelCheckpoint layout, base_model.py:77-90)."""
