@@ -312,12 +312,13 @@ def t10_variance_block():
         "### Seed-variance analysis (full-scale generator seeds, "
         "scripts/variance_taobao10.py)",
         "",
-        "| seed | joint | MMoE | PLE | MAMDR (ft) |",
-        "|---|---|---|---|---|",
+        "| seed | joint | MMoE | PLE | DN (ft) | MAMDR (ft) |",
+        "|---|---|---|---|---|---|",
     ]
     for seed in (11, 12, 13):
         cells = [a(f"s{seed}/mlp", "test"), a(f"s{seed}/mmoe", "test"),
                  a(f"s{seed}/ple", "test"),
+                 a(f"s{seed}/mlp_meta_domain_negotiation_finetune"),
                  a(f"s{seed}/mlp_meta_mamdr_finetune")]
         if all(c is None for c in cells):
             continue

@@ -26,7 +26,10 @@ REPO = osp.dirname(osp.dirname(osp.abspath(__file__)))
 T30_ROOT = osp.join(REPO, "variance_t30")
 ROOT = osp.join(REPO, "variance_t10")
 SEEDS = [12, 13]  # campaign raw uses rng seed 11
-VARIANTS = ["mlp", "mlp_meta_mamdr_finetune", "mmoe", "ple"]
+VARIANTS = ["mlp", "mlp_meta_mamdr_finetune", "mmoe", "ple",
+            # r5: DN>joint is a resolved data-regime FAIL on seed 11 —
+            # adjudicate it across generator seeds like A6's MAMDR-vs-DN
+            "mlp_meta_domain_negotiation_finetune"]
 EPOCH_CAP = int(os.environ.get("CAMPAIGN_EPOCHS", 50))  # early stop decides; cap is a safety bound
 PATIENCE = 3
 
@@ -193,12 +196,15 @@ def main():
             if k in c and "test" in c[k]:
                 results.setdefault(f"s11/{model}", c[k])
 
-    for name, base in (("mamdr_ft_minus_joint", "mlp"),
-                       ("mamdr_ft_minus_mmoe", "mmoe"),
-                       ("mamdr_ft_minus_ple", "ple")):
+    for name, num, base in (
+        ("mamdr_ft_minus_joint", "mlp_meta_mamdr_finetune", "mlp"),
+        ("mamdr_ft_minus_mmoe", "mlp_meta_mamdr_finetune", "mmoe"),
+        ("mamdr_ft_minus_ple", "mlp_meta_mamdr_finetune", "ple"),
+        ("dn_ft_minus_joint", "mlp_meta_domain_negotiation_finetune", "mlp"),
+    ):
         vals = []
         for seed in [11] + SEEDS:
-            m = auc(results.get(f"s{seed}/mlp_meta_mamdr_finetune"))
+            m = auc(results.get(f"s{seed}/{num}"))
             b = auc(results.get(f"s{seed}/{base}"))
             if m is not None and b is not None:
                 vals.append(m - b)
