@@ -402,9 +402,14 @@ def main():
         "(search_amazon/*/results.json; scripts/search_amazon_gen.py).",
         "Hyperparameters are the reference configs via mamdr_tpu.benchmarks",
         "(batch 1024, Adam 1e-3, meta-lr 0.1, benchmark-specific DR",
-        "sample_num + query, dropout 0.5, patience 3, epoch cap 50 — the",
-        "reference's bound is 99999 with the same strict-improvement early",
-        "stop; rows that hit our cap are flagged); Amazon MAMDR uses",
+        "sample_num + query, dropout 0.5, patience 3). Epoch protocol =",
+        "the reference's strict-improvement early stop (bound 99999,",
+        "base_model.py:202-224): rows train until the stopper fires, with",
+        "safety caps raised (50→100→300→600) and only check-deciding rows",
+        "requeued (scripts/requeue_unresolved.py) until every ordering",
+        "check is RESOLVED — a still-capped row is flagged and only",
+        "tolerated on the winning side of its checks (its recorded AUC is",
+        "a lower bound); Amazon MAMDR uses",
         "paper-semantics zero-initialised specifics (the reference's random",
         "offsets measurably pollute merged models on trainable tables —",
         "benchmarks.py) and STAR+MAMDR uses star_taobao.json's sample_num 5.",
