@@ -23,6 +23,7 @@ import sys
 import time
 
 REPO = osp.dirname(osp.dirname(osp.abspath(__file__)))
+sys.path.insert(0, REPO)
 T30_ROOT = osp.join(REPO, "variance_t30")
 ROOT = osp.join(REPO, "variance_t10")
 SEEDS = [12, 13]  # campaign raw uses rng seed 11
