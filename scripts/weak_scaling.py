@@ -65,7 +65,7 @@ def count_collectives(hlo: str) -> dict:
     return out
 
 
-def build(n_dev: int, tmp: str):
+def build(n_dev: int, tmp: str, trainable: bool = False):
     from mamdr_tpu.config import ExperimentConfig
     from mamdr_tpu.data.synthetic import make_synthetic_dataset
     from mamdr_tpu.ops.embedding_lookup import set_lookup_mesh
@@ -85,10 +85,13 @@ def build(n_dev: int, tmp: str):
             "train": {
                 "epoch": 1, "learning_rate": 0.01, "meta_learning_rate": 0.1,
                 "patience": 3, "sample_num": 2, "add_query_domain": True,
-                "metrics_jsonl": False, "emb_trainable": False,
-                # 32: user/item tables (256 rows) shard, the TRAINABLE
-                # domain_emb table (= n_domain rows) stays replicated —
-                # lane-parallel DR composes only with frozen sharded tables
+                "metrics_jsonl": False,
+                # frozen regime (Taobao): user/item tables are subset-step
+                # closure constants shared across lanes. trainable regime
+                # (Amazon, r5): lane-stacked [L, rows, D] copies sharded
+                # P(data, table, None). 32: user/item tables (256 rows)
+                # shard; the small domain_emb table stays replicated.
+                "emb_trainable": trainable,
                 "sharded_lookup_min_rows": 32, "dr_parallel": "on",
             },
             "dataset": {"name": "synthetic", "batch_size": BATCH, "seed": 29},
@@ -105,8 +108,8 @@ def build(n_dev: int, tmp: str):
     return mesh, data_shards, t, s
 
 
-def measure(n_dev: int, tmp: str) -> dict:
-    mesh, data_shards, t, s = build(n_dev, tmp)
+def measure(n_dev: int, tmp: str, trainable: bool = False) -> dict:
+    mesh, data_shards, t, s = build(n_dev, tmp, trainable)
     assert s._dr_parallel_eligible(), "lane-parallel DR must be eligible"
     s.prepare_fused()
 
@@ -136,8 +139,12 @@ def measure(n_dev: int, tmp: str) -> dict:
     steps = t.steps_per_domain()
     n_domain = len(steps)
     lane_steps = max(steps) * k          # each lane trains k aux domains
+    from mamdr_tpu.ops.embedding_lookup import set_lookup_mesh
+
+    set_lookup_mesh(None)  # don't leak the process-global mesh to callers
     return {
         "n_devices": n_dev,
+        "regime": "trainable" if trainable else "frozen",
         "mesh": {ax: int(n) for ax, n in mesh.shape.items()},
         "n_domain": n_domain,
         "lanes_per_data_shard": n_domain // data_shards,
@@ -159,6 +166,10 @@ def main():
             r = measure(n, tmp)
             rows.append(r)
             print(json.dumps(r), flush=True)
+        # trainable-table regime (r5 composition) at the full virtual mesh
+        r = measure(8, tmp, trainable=True)
+        rows.append(r)
+        print(json.dumps(r), flush=True)
     out = osp.join(osp.dirname(osp.dirname(osp.abspath(__file__))),
                    "weak_scaling.json")
     with open(out, "w") as f:

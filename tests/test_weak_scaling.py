@@ -36,6 +36,20 @@ def test_weak_scaling_8dev_collective_counts(tmp_path):
     }, r["collectives_dr"]
 
 
+def test_weak_scaling_trainable_regime_bounded(tmp_path):
+    """r5: the trainable-table lanes composition lowers with a BOUNDED
+    collective set too — more gathers than the frozen regime (the
+    lane-stacked sharded tables carry grads/updates across the mesh) but
+    a fixed per-phase count, not O(devices)·O(tables)."""
+    r = measure(8, str(tmp_path), trainable=True)
+    assert r["regime"] == "trainable"
+    assert r["mesh"] == {"data": 4, "table": 2}
+    assert r["lanes_per_data_shard"] == 4
+    for phase in ("collectives_dn", "collectives_dr"):
+        for op, n in r[phase].items():
+            assert n < 120, (phase, op, n)
+
+
 def test_weak_scaling_single_shard_is_distribution_free(tmp_path):
     """data=1 meshes lower to zero lane-distribution collectives — the only
     collective is the table-axis lookup psum (and XLA folds even that on a
