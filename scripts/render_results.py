@@ -336,6 +336,20 @@ def t10_variance_block():
     return out
 
 
+def _t20_dn_margin_line(v):
+    """Cross-seed adjudication of the T20 DN>joint data-regime FAIL
+    (scripts/variance_taobao20.py r5 rows)."""
+    m = v.get("_dn_margins")
+    if not m:
+        return ""
+    return (
+        f" DN−joint: mean **{m['mean']:+.4f}**, std {m['std']:.4f} — "
+        f"positive on {m['positive']}/{m['n']} seeds (the DN>joint FAIL is "
+        "the regime, consistent across generator seeds; see the data-regime "
+        "note below)."
+    )
+
+
 def lanes_parity_block(bench):
     """Flagship parallel-lanes DR vs the sequential reference schedule at
     full scale on trainable embeddings (scripts/campaign_amazon_lanes.py)."""
@@ -624,7 +638,8 @@ def main():
             "",
             f"STAR+MAMDR−STAR margin: mean **{st.mean(margins):+.4f}**, "
             f"std {st.stdev(margins):.4f}, positive on "
-            f"{sum(x>0 for x in margins)}/{len(margins)} seeds.",
+            f"{sum(x>0 for x in margins)}/{len(margins)} seeds."
+            + _t20_dn_margin_line(v),
         ]
 
     def taobao_regime_note(bench, rows):

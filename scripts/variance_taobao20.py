@@ -25,7 +25,10 @@ ROOT = "/root/repo/variance_t20"
 SEEDS = [12, 13]   # campaign raw uses rng seed 11
 EPOCH_CAP = int(os.environ.get("CAMPAIGN_EPOCHS", 50))  # early stop decides
 PATIENCE = 3
-VARIANTS = ["star", "star_meta_mamdr_finetune"]
+VARIANTS = ["star", "star_meta_mamdr_finetune",
+            # r5: DN>joint is a resolved data-regime FAIL on seed 11 —
+            # adjudicate the direction across generator seeds (MLP rows)
+            "mlp", "mlp_meta_domain_negotiation_finetune"]
 
 N_USERS, N_ITEMS, EMB_DIM, N_THEME, LARGEST = 197_000, 60_000, 128, 20, 89_000
 
@@ -181,9 +184,30 @@ def main():
     if len(margins) >= 2:
         log(f"STAR+MAMDR - STAR margin: mean {st.mean(margins):+.4f} "
             f"std {st.stdev(margins):.4f} over {len(margins)} seeds")
-    with open(rp, "w") as f:
-        json.dump(results, f, indent=2)
-        f.write("\n")
+    dn_margins = []
+    for seed in [11] + SEEDS:
+        try:
+            j = results[f"s{seed}/mlp"]["test"]["avg_auc"]
+            d = results[f"s{seed}/mlp_meta_domain_negotiation_finetune"]
+            df = d.get("finetune", d["test"])["avg_auc"]
+            dn_margins.append(df - j)
+            log(f"seed {seed}: dn_ft - joint = {df-j:+.4f}")
+        except KeyError:
+            pass
+    if len(dn_margins) >= 2:
+        results["_dn_margins"] = {
+            "mean": round(st.mean(dn_margins), 4),
+            "std": round(st.stdev(dn_margins), 4),
+            "n": len(dn_margins),
+            "positive": sum(x > 0 for x in dn_margins),
+        }
+        log(f"DN - joint margin: mean {st.mean(dn_margins):+.4f} "
+            f"std {st.stdev(dn_margins):.4f} over {len(dn_margins)} seeds")
+    for path in (rp, osp.join("/root/repo/campaign_snapshots",
+                              "variance_t20.results.json")):
+        with open(path, "w") as f:
+            json.dump(results, f, indent=2)
+            f.write("\n")
 
 
 if __name__ == "__main__":
