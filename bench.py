@@ -36,7 +36,8 @@ def log(msg):
 
 def enable_compile_cache():
     """First XLA compile through the axon tunnel can take minutes; the
-    persistent cache makes warmup near-instant on every later run."""
+    persistent cache cuts warmup ~2x on later runs (deserializing the
+    602MB lanes executable through the tunnel still costs ~4 min)."""
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")

@@ -6,9 +6,10 @@ budget — so a wiped cache could produce an empty BENCH row for reasons
 unrelated to the code. This stage builds bench.py's EXACT workload
 (bench.build_bench_strategy — identical HLO, so the persistent-cache keys
 hit), compiles both fused phases, runs one epoch, and exits. Run it in the
-TPU queue any time before bench.py; afterwards bench warms in seconds from
-the deserialized cache (warm-start measured 4.3s hit vs 199s miss, PERF.md
-round-3 A/B).
+TPU queue any time before bench.py; afterwards bench warms in ~4 min
+instead of ~10 (the 602MB lanes executable deserializes at tunnel speed —
+r5 measured 236.9s pure-hit warmup vs 630s cold compile; PERF.md r5
+calibration note).
 
 TPU single-client: run alone.
   timeout 1800 python scripts/prewarm_bench.py
